@@ -1,0 +1,152 @@
+"""Spark-side text functions: parity pandas UDFs + fast native variants.
+
+Two tiers, chosen per call site:
+
+1. **Parity tier** (Arrow pandas UDFs wrapping
+   :mod:`..reference_semantics`): used wherever the output is part of the
+   byte-identity contract — the `text` extraction column and the tokens that
+   feed BM25 statistics. Python-regex semantics exactly (unicode ``\\s``,
+   ``str.lower``), vectorized per Arrow batch, no per-row Python at the
+   plan level.
+
+2. **Native tier** (pure ``pyspark.sql.functions`` column expressions):
+   whole-stage-codegen'd JVM regexps for hot paths where we have proven (test
+   ``tests/test_text.py::test_native_matches_parity_on_ascii``) the corpus
+   alphabet makes them equivalent (ASCII corpora). At 100 TB the native tier
+   keeps extraction inside codegen and off the Python workers entirely.
+
+Reference semantics: /root/reference/search_engine/extractor.py:6-52.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..reference_semantics import (
+    STOPWORDS,
+    extract_text,
+    preprocess_text,
+    strip_html,
+    tokenize,
+)
+
+STOPWORDS_SORTED = sorted(STOPWORDS)
+
+
+# --------------------------------------------------------------------------
+# Parity tier — Arrow pandas UDFs
+# --------------------------------------------------------------------------
+
+@pandas_udf(T.StringType())
+def strip_html_udf(html: pd.Series) -> pd.Series:
+    return html.map(strip_html)
+
+
+@pandas_udf(T.StringType())
+def preprocess_udf(text: pd.Series) -> pd.Series:
+    return text.map(preprocess_text)
+
+
+@pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series, fallback: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_text(h, t) for h, t in zip(html, fallback)], dtype="object"
+    )
+
+
+def _make_tokenize_udf(remove_stopwords: bool):
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _tok(text: pd.Series) -> pd.Series:
+        return text.map(lambda s: tokenize(s, remove_stopwords=remove_stopwords))
+
+    return _tok
+
+
+tokenize_udf = _make_tokenize_udf(False)
+tokenize_nostop_udf = _make_tokenize_udf(True)
+
+
+# --------------------------------------------------------------------------
+# Native tier — JVM column expressions (codegen, no Python workers)
+# --------------------------------------------------------------------------
+
+def tokens_native(col: Column | str, remove_stopwords: bool = False) -> Column:
+    """``[A-Za-z0-9_]+`` findall as a JVM expression.
+
+    ``split`` on the complement class; filter empties from leading/trailing
+    separators. Equivalent to the parity UDF on ASCII input (property-tested);
+    on a 100 TB run this is the default path with the UDF reserved for
+    non-ASCII partitions.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(c), r"[^a-z0-9_]+")
+    toks = F.filter(toks, lambda x: x != F.lit(""))
+    if remove_stopwords:
+        toks = F.array_except(toks, F.array(*[F.lit(s) for s in STOPWORDS_SORTED]))
+    return toks
+
+
+def tokens_native_keep_order(col: Column | str, remove_stopwords: bool = False) -> Column:
+    """Order/duplicate-preserving stopword filter (array_except dedups, which
+    is fine for df/tf aggregation but wrong when token *sequence* matters)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(c), r"[^a-z0-9_]+")
+    toks = F.filter(toks, lambda x: x != F.lit(""))
+    if remove_stopwords:
+        stop = F.array(*[F.lit(s) for s in STOPWORDS_SORTED])
+        toks = F.filter(toks, lambda x: ~F.array_contains(stop, x))
+    return toks
+
+
+def preprocess_native(col: Column | str) -> Column:
+    """JVM whitespace normalization — ASCII-equivalent to the parity UDF
+    (Java ``\\s`` is ASCII-only; Python's is unicode — see reference_semantics)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(c), r"\s+", " ")
+
+
+# --------------------------------------------------------------------------
+# Extraction stage (input_hint pipeline: html:binary → text:string)
+# --------------------------------------------------------------------------
+
+def with_extracted_text(df, html_col: str = "html", text_col: str = "text"):
+    """pages(url, warc_ts, html, text, lang) → same with `text` populated.
+
+    Parity invariant (BASELINE.json input_hint): text == byte-identical
+    ``preprocess_text(strip_html(html))`` per url; NULL html rows keep their
+    preprocessed existing text.
+    """
+    return df.withColumn(text_col, extract_text_udf(F.col(html_col), F.col(text_col)))
+
+
+def doc_metadata_cols(text_col: str = "text") -> list[Column]:
+    """char/word/unique/avg-word-length as native expressions
+    (parity: extractor.py:55-71, tested vs reference_semantics.doc_metadata)."""
+    toks = tokens_native(text_col)
+    return [
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("char_count"),
+        F.size(toks).alias("word_count"),
+        F.size(F.array_distinct(toks)).alias("unique_words"),
+        F.when(F.size(toks) > 0,
+               F.aggregate(toks, F.lit(0).cast("double"),
+                           lambda acc, x: acc + F.length(x)) / F.size(toks))
+        .otherwise(F.lit(0.0))
+        .alias("avg_word_length"),
+    ]
+
+
+def tokenize_documents(df, text_col: str = "text", id_col: str = "doc_id",
+                       remove_stopwords: bool = True, parity: bool = False):
+    """→ DataFrame(doc_id, tokens). `parity=True` forces the pandas UDF."""
+    tok = (
+        (tokenize_nostop_udf if remove_stopwords else tokenize_udf)(F.col(text_col))
+        if parity
+        else tokens_native_keep_order(text_col, remove_stopwords=remove_stopwords)
+    )
+    return df.select(F.col(id_col).alias("doc_id"), tok.alias("tokens"))

@@ -1,0 +1,101 @@
+"""Corpus statistics for BM25: tf, df, idf, doc lengths, avgdl.
+
+Semantics contract (reference file:line, math only):
+- per-doc tf:   bm25.py:62-64   (Counter per doc)      → A1
+- df:           bm25.py:66-68   (count docs per term)  → A2
+- corpus stats: bm25.py:52,71   (N, avgdl)             → A3
+- idf:          bm25.py:76-81   ln((N-df+0.5)/(df+0.5)+1) → A4
+- doc length:   bm25.py:59-60   (post-stopword token count) → A5
+
+Scale notes: tf is one hash aggregation keyed (doc_id, term) — map-side
+partial aggregation collapses each document's tokens before the shuffle, so
+shuffle volume is distinct-(doc,term) pairs, not raw token count.  term_stats
+aggregates tf again by term (second, much smaller shuffle) and is
+broadcast-sized even at web scale (vocabulary ≪ corpus).  doc_stats rides the
+same first aggregation.  Nothing here collects to the driver except the two
+corpus scalars.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize_documents
+
+
+@dataclass(frozen=True)
+class CorpusScalars:
+    doc_count: int
+    avg_doc_len: float
+
+
+def term_frequencies(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", remove_stopwords: bool = True,
+                     parity: bool = False) -> DataFrame:
+    """A1: (doc_id, term, tf). One explode + one hash agg."""
+    toks = tokenize_documents(docs, text_col, id_col,
+                              remove_stopwords=remove_stopwords, parity=parity)
+    return (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              remove_stopwords: bool = True, parity: bool = False) -> DataFrame:
+    """A5: (doc_id, doc_len) — token count after stopword removal."""
+    toks = tokenize_documents(docs, text_col, id_col,
+                              remove_stopwords=remove_stopwords, parity=parity)
+    return toks.select("doc_id", F.size("tokens").alias("doc_len"))
+
+
+def doc_stats_from_tf(tf: DataFrame) -> DataFrame:
+    """A5 without re-tokenizing: doc_len = Σ tf per doc.
+
+    Identical to doc_stats because length is counted on the same
+    post-stopword token stream; saves a second pass over raw text.
+    NOTE: drops docs with zero surviving tokens — callers that need them
+    (avgdl denominator counts empty docs too) must union them back or use
+    corpus_scalars(), which counts N from the docs table directly.
+    """
+    return tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+
+
+def term_stats(tf: DataFrame, doc_count: int) -> DataFrame:
+    """A2+A4: (term, df, cf, idf). df exact (IDF must match bit-for-bit);
+    broadcastable at query time."""
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+    ).withColumn(
+        "idf",
+        F.log((F.lit(float(doc_count)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+    )
+
+
+def corpus_scalars(docs: DataFrame, dstats: DataFrame) -> CorpusScalars:
+    """A3: N from the docs table (counts token-empty docs, matching the
+    reference which divides by len(documents)); avgdl from doc_stats with
+    missing docs contributing 0."""
+    n = docs.count()
+    total = dstats.agg(F.sum("doc_len")).first()[0] or 0
+    return CorpusScalars(doc_count=n, avg_doc_len=(total / n if n else 0.0))
+
+
+def build_statistics(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", remove_stopwords: bool = True,
+                     parity: bool = False):
+    """One-pass build of (tf, doc_stats, term_stats, scalars).
+
+    tf is cached across the two downstream aggregations — at scale you'd
+    persist it to a table (the posting builder re-reads it anyway).
+    """
+    tf = term_frequencies(docs, text_col, id_col, remove_stopwords, parity).cache()
+    dstats = doc_stats_from_tf(tf)
+    scalars = corpus_scalars(docs.select(id_col), dstats)
+    tstats = term_stats(tf, scalars.doc_count)
+    return tf, dstats, tstats, scalars
