@@ -137,7 +137,7 @@ def generate_pages(n_docs: int, seed: int = SEED) -> "iter":
         ts = t0 + timedelta(seconds=37 * i)
         lang = "en" if i % 20 < 18 else ("de" if i % 20 == 18 else "fr")
 
-        if i < len(DEMO_DOCS) * 1 and i % 1 == 0 and i < 20:
+        if i < 20:
             # first 20 rows: known-answer docs (12 demo + 8 topical fillers)
             if i < 12:
                 body = DEMO_DOCS[i]

@@ -23,3 +23,35 @@ reference is cited in docstrings (file:line) purely as the semantics contract.
 """
 
 __version__ = "0.1.0"
+
+
+def ensure_udf_serializable() -> None:
+    """Register this package's modules for by-value cloudpickle pickling.
+
+    Spark's Python workers unpickle UDFs in separate processes whose
+    sys.path need not include this repo (e.g. a driver running from another
+    cwd). By-value registration embeds the referenced functions in the UDF
+    payload instead of importing them by module name on the worker —
+    removing the deployment requirement entirely for local/driver use.
+    (For spark-submit on a real cluster you'd ship the package via
+    --py-files and skip this.) Idempotent; called by every module that
+    defines a UDF/mapInPandas/applyInPandas function.
+    """
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+    except Exception:  # pragma: no cover
+        try:
+            import cloudpickle
+        except Exception:
+            return
+    reg = getattr(cloudpickle, "register_pickle_by_value", None)
+    if reg is None:  # old cloudpickle — fall back to name-based pickling
+        return
+    for name, mod in list(sys.modules.items()):
+        if mod is not None and name.startswith(__name__):
+            try:
+                reg(mod)
+            except Exception:
+                pass

@@ -122,6 +122,9 @@ def with_extracted_text(df, html_col: str = "html", text_col: str = "text"):
     ``preprocess_text(strip_html(html))`` per url; NULL html rows keep their
     preprocessed existing text.
     """
+    from .. import ensure_udf_serializable
+
+    ensure_udf_serializable()
     return df.withColumn(text_col, extract_text_udf(F.col(html_col), F.col(text_col)))
 
 
@@ -144,9 +147,11 @@ def doc_metadata_cols(text_col: str = "text") -> list[Column]:
 def tokenize_documents(df, text_col: str = "text", id_col: str = "doc_id",
                        remove_stopwords: bool = True, parity: bool = False):
     """→ DataFrame(doc_id, tokens). `parity=True` forces the pandas UDF."""
-    tok = (
-        (tokenize_nostop_udf if remove_stopwords else tokenize_udf)(F.col(text_col))
-        if parity
-        else tokens_native_keep_order(text_col, remove_stopwords=remove_stopwords)
-    )
+    if parity:
+        from .. import ensure_udf_serializable
+
+        ensure_udf_serializable()
+        tok = (tokenize_nostop_udf if remove_stopwords else tokenize_udf)(F.col(text_col))
+    else:
+        tok = tokens_native_keep_order(text_col, remove_stopwords=remove_stopwords)
     return df.select(F.col(id_col).alias("doc_id"), tok.alias("tokens"))

@@ -1,0 +1,178 @@
+"""Posting-list construction: term-partitioned encode, doc-shard layout.
+
+Dataflow (explicit shapes — Catalyst won't invent these, SURVEY.md §4):
+
+    tf(doc_id, term, tf)                    [from operators.stats — shuffle 1]
+      ⋈ doc_stats(doc_id, doc_len)          [co-keyed join]
+      ⋈ broadcast(term_stats(term, idf))    [vocabulary-sized broadcast]
+      → repartition(P, shard_id)            [shuffle 2 — the explicit one]
+      → sortWithinPartitions(shard_id, term, doc_id)
+      → mapInPandas(block encoder)          [Arrow-batch streaming, carries
+                                             (shard, term) runs across batches]
+      → postings(shard_id, term, block_id, first_doc, last_doc, n,
+                 deltas, tfs, dls, max_tf, max_score)
+      → write parquet partitioned by shard_id (idempotent per-shard overwrite)
+
+Sharding doubles as the **explicit hot-term salting**: shard_id =
+pmod(hash(doc_id), n_shards), so a Zipf-head term's posting list is split
+into n_shards independently-encoded sub-lists of ~df/n_shards entries each —
+no single sort-run or encode call ever sees a whole hot term. Block-max
+metadata is shard-local and stays sound (SURVEY.md §7.3.4). Uniform doc
+hashing also bounds per-cell size for the sort: the largest (shard, term)
+cell is ~|docs in shard|, independent of term df.
+
+The doc-shard layout is simultaneously the query-time unit: each shard holds
+complete postings (all terms) for its doc subset, so per-shard top-k is exact
+and the global merge is a k·P-row TakeOrderedAndProject (operators/wand.py).
+
+At 100 TB: n_shards scales with corpus size (target ~256 MB of postings per
+shard); the same plan runs unchanged — the repartition is the only full
+shuffle of (doc,term,tf)-grain data, everything downstream is shard-local.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .codec import BLOCK_SIZE_DEFAULT, encode_posting_list
+
+POSTING_SCHEMA = T.StructType([
+    T.StructField("shard_id", T.IntegerType(), False),
+    T.StructField("term", T.StringType(), False),
+    T.StructField("block_id", T.IntegerType(), False),
+    T.StructField("first_doc", T.LongType(), False),
+    T.StructField("last_doc", T.LongType(), False),
+    T.StructField("n", T.IntegerType(), False),
+    T.StructField("deltas", T.BinaryType(), False),
+    T.StructField("tfs", T.BinaryType(), False),
+    T.StructField("dls", T.BinaryType(), False),
+    T.StructField("max_tf", T.IntegerType(), False),
+    T.StructField("max_score", T.DoubleType(), False),
+])
+
+
+def with_shard(df: DataFrame, n_shards: int, doc_col: str = "doc_id") -> DataFrame:
+    """shard_id = pmod(hash(doc_id), n_shards) — deterministic, uniform."""
+    return df.withColumn(
+        "shard_id", F.pmod(F.hash(F.col(doc_col)), F.lit(n_shards)).cast("int")
+    )
+
+
+def _encoder_stream(k1: float, b: float, avgdl: float, block_size: int):
+    """mapInPandas iterator: rows sorted by (shard_id, term, doc_id) within
+    the partition; encodes each (shard, term) run into block rows, carrying
+    incomplete runs across Arrow batches."""
+
+    def encode_run(shard, term, docs, tfs, dls, idf):
+        blocks = encode_posting_list(
+            np.asarray(docs, dtype=np.int64),
+            np.asarray(tfs, dtype=np.int64),
+            np.asarray(dls, dtype=np.int64),
+            idf=float(idf), avgdl=avgdl, k1=k1, b=b, block_size=block_size,
+        )
+        return pd.DataFrame({
+            "shard_id": np.int32(shard),
+            "term": term,
+            "block_id": np.array([blk["block_id"] for blk in blocks], np.int32),
+            "first_doc": np.array([blk["first_doc"] for blk in blocks], np.int64),
+            "last_doc": np.array([blk["last_doc"] for blk in blocks], np.int64),
+            "n": np.array([blk["n"] for blk in blocks], np.int32),
+            "deltas": [blk["deltas"] for blk in blocks],
+            "tfs": [blk["tfs"] for blk in blocks],
+            "dls": [blk["dls"] for blk in blocks],
+            "max_tf": np.array([blk["max_tf"] for blk in blocks], np.int32),
+            "max_score": np.array([blk["max_score"] for blk in blocks], np.float64),
+        })
+
+    def fn(batches):
+        carry = None  # pandas DataFrame of the unfinished (shard, term) run
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                continue
+            # boundary of the last run — hold it back for the next batch
+            last_shard = pdf["shard_id"].iloc[-1]
+            last_term = pdf["term"].iloc[-1]
+            tail_mask = (pdf["shard_id"] == last_shard) & (pdf["term"] == last_term)
+            # tail rows are contiguous at the end (input is sorted)
+            tail_start = len(pdf) - int(tail_mask.values[::-1].argmin()
+                                        if not tail_mask.all() else len(pdf))
+            carry = pdf.iloc[tail_start:]
+            head = pdf.iloc[:tail_start]
+            if head.empty:
+                continue
+            out = []
+            for (shard, term), grp in head.groupby(["shard_id", "term"], sort=False):
+                out.append(encode_run(shard, term, grp["doc_id"].values,
+                                      grp["tf"].values, grp["doc_len"].values,
+                                      grp["idf"].iloc[0]))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+        if carry is not None and not carry.empty:
+            yield encode_run(carry["shard_id"].iloc[0], carry["term"].iloc[0],
+                             carry["doc_id"].values, carry["tf"].values,
+                             carry["doc_len"].values, carry["idf"].iloc[0])
+
+    return fn
+
+
+def build_postings(tf: DataFrame, dstats: DataFrame, tstats: DataFrame,
+                   avgdl: float, n_shards: int = 32,
+                   k1: float = 1.5, b: float = 0.75,
+                   block_size: int = BLOCK_SIZE_DEFAULT,
+                   build_partitions: int | None = None,
+                   shard_filter: list[int] | None = None) -> DataFrame:
+    """→ posting-block DataFrame (not yet written). ``shard_filter`` limits
+    the build to specific shards (resume path)."""
+    from .. import ensure_udf_serializable
+
+    ensure_udf_serializable()
+    enriched = (
+        tf.join(dstats, "doc_id")
+        .join(F.broadcast(tstats.select("term", "idf")), "term")
+    )
+    enriched = with_shard(enriched, n_shards)
+    if shard_filter is not None:
+        enriched = enriched.where(F.col("shard_id").isin([int(s) for s in shard_filter]))
+    p = build_partitions or n_shards
+    sorted_runs = (
+        enriched.select("shard_id", "term", "doc_id", "tf", "doc_len", "idf")
+        .repartition(p, "shard_id")
+        .sortWithinPartitions("shard_id", "term", "doc_id")
+    )
+    return sorted_runs.mapInPandas(
+        _encoder_stream(k1, b, avgdl, block_size), schema=POSTING_SCHEMA
+    )
+
+
+def write_postings(postings: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Parquet partitioned by shard_id; dynamic overwrite → per-shard
+    idempotent rewrites (the resume path re-emits only missing shards)."""
+    (
+        postings.write.partitionBy("shard_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def read_postings(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def shard_metrics(postings: DataFrame) -> DataFrame:
+    """Per-shard build metrics (skew evidence for the manifest): posting
+    counts, block counts, encoded bytes."""
+    return postings.groupBy("shard_id").agg(
+        F.countDistinct("term").alias("n_terms"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("n").alias("n_postings"),
+        (F.sum(F.length("deltas")) + F.sum(F.length("tfs"))
+         + F.sum(F.length("dls"))).alias("payload_bytes"),
+    )

@@ -1,0 +1,123 @@
+"""Posting build + block-max query path: triangulated parity.
+
+oracle (pure python) == naive broadcast scorer == postings exact ==
+postings pruned, on the synthetic pages corpus across the query set.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fixtures.gen_corpus import DEMO_QUERIES, all_queries
+from oracle.bm25_oracle import BM25Oracle
+
+N_SHARDS = 8
+
+
+@pytest.fixture(scope="module")
+def corpus(extracted_1k):
+    rows = extracted_1k.select("url", "text").collect()
+    rows.sort(key=lambda r: r["url"])
+    return {i: r["text"] for i, r in enumerate(rows)}
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return BM25Oracle().fit(corpus)
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    from hybrid_search_engine_spark.operators.postings import (
+        build_postings,
+        read_postings,
+        write_postings,
+    )
+    from hybrid_search_engine_spark.operators.stats import build_statistics
+
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    tf, dstats, tstats, scalars = build_statistics(df)
+    postings = build_postings(tf, dstats, tstats, scalars.avg_doc_len,
+                              n_shards=N_SHARDS, block_size=16)
+    path = str(tmp_path_factory.mktemp("index") / "postings")
+    write_postings(postings, path)
+    stored = read_postings(spark, path).cache()
+    stored.count()
+    tstats = tstats.cache()
+    return stored, tstats, scalars
+
+
+def test_posting_blocks_roundtrip_vs_tf(spark, index, oracle):
+    """Decoded postings == oracle tf dicts (content equality after the
+    shuffle+sort+encode pipeline)."""
+    from hybrid_search_engine_spark.operators.codec import decode_posting_blocks
+
+    stored, _, _ = index
+    sample_terms = ["quick", "learning", "data", "journey"]
+    got = {}
+    pdfs = stored.where(F.col("term").isin(sample_terms)).toPandas()
+    for (term, shard), grp in pdfs.groupby(["term", "shard_id"]):
+        grp = grp.sort_values("first_doc")
+        docs, tfs, dls = decode_posting_blocks(grp.to_dict("records"))
+        assert np.all(np.diff(docs) > 0)  # sorted within (term, shard)
+        for d, t, l in zip(docs, tfs, dls):
+            got[(term, d)] = (t, l)
+    for term in sample_terms:
+        want = {
+            (term, did): (cnt[term], oracle.doc_len[did])
+            for did, cnt in oracle.tf.items() if term in cnt
+        }
+        got_term = {kv: v for kv, v in got.items() if kv[0] == term}
+        assert got_term == want, term
+
+
+def test_shard_metrics(index):
+    from hybrid_search_engine_spark.operators.postings import shard_metrics
+
+    stored, _, _ = index
+    m = shard_metrics(stored).collect()
+    assert len(m) == N_SHARDS
+    total = sum(r["n_postings"] for r in m)
+    counts = [r["n_postings"] for r in m]
+    # uniform doc hashing keeps shard skew modest
+    assert max(counts) / (total / len(counts)) < 1.5
+
+
+@pytest.mark.parametrize("query", DEMO_QUERIES)
+def test_pruned_matches_oracle_demo(spark, index, oracle, query):
+    _assert_parity(spark, index, oracle, query, k=10)
+
+
+def test_pruned_matches_oracle_generated(spark, index, oracle):
+    for q in all_queries()[5:35]:
+        _assert_parity(spark, index, oracle, q, k=10)
+
+
+def test_pruned_equals_exact_mode(spark, index):
+    from hybrid_search_engine_spark.operators.wand import search_index
+
+    stored, tstats, scalars = index
+    for q in ["data machine learning", "the quick brown fox", "programming"]:
+        a = search_index(spark, stored, tstats, scalars.avg_doc_len, q,
+                         k=25, mode="pruned").collect()
+        b = search_index(spark, stored, tstats, scalars.avg_doc_len, q,
+                         k=25, mode="exact").collect()
+        assert [(r.doc_id, round(r.score, 9)) for r in a] == \
+               [(r.doc_id, round(r.score, 9)) for r in b], q
+
+
+def test_k_variants(spark, index, oracle):
+    for k in (1, 5, 100):
+        _assert_parity(spark, index, oracle, "machine learning and AI", k=k)
+
+
+def _assert_parity(spark, index, oracle, query, k):
+    from hybrid_search_engine_spark.operators.wand import search_index
+
+    stored, tstats, scalars = index
+    got = search_index(spark, stored, tstats, scalars.avg_doc_len, query,
+                       k=k).collect()
+    want = oracle.topk_nonzero(query, k=k)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want], query
+    for r, (_, s) in zip(got, want):
+        assert abs(r["score"] - s) <= 1e-6 * max(1.0, abs(s)), (query, r)
