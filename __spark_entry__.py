@@ -27,11 +27,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from hybrid_search_engine_spark.contract import QUERIES
+    from hybrid_search_engine_spark.contract_ext import QUERIES_EXT
 
-    return dict(QUERIES)
+    return {**QUERIES, **QUERIES_EXT}
 
 
 def oracle_sql() -> dict[str, str]:
     from hybrid_search_engine_spark.contract import ORACLES
+    from hybrid_search_engine_spark.contract_ext import ORACLES_EXT
 
-    return dict(ORACLES)
+    return {**ORACLES, **ORACLES_EXT}

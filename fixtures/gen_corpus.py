@@ -131,11 +131,19 @@ def generate_pages(n_docs: int, seed: int = SEED) -> "iter":
     t0 = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
     prev_body = ""
+    prev_html, prev_text = None, ""
     for i in range(n_docs):
         row_rng = random.Random((seed << 20) ^ i)  # per-row determinism
         url = f"https://site{i % 1000}.example/path/{i}"
         ts = t0 + timedelta(seconds=37 * i)
         lang = "en" if i % 20 < 18 else ("de" if i % 20 == 18 else "fr")
+
+        if i % 97 == 0 and i >= 20:
+            # exact duplicate: identical page content, different url only
+            # (extracted text must be byte-identical for the sha-256 path)
+            yield {"url": url, "warc_ts": ts, "html": prev_html,
+                   "text": prev_text, "lang": lang}
+            continue
 
         if i < 20:
             # first 20 rows: known-answer docs (12 demo + 8 topical fillers)
@@ -153,9 +161,7 @@ def generate_pages(n_docs: int, seed: int = SEED) -> "iter":
                     "starting a journey with wise sayings",
                 ]
                 body = fillers[i - 12]
-        elif i % 97 == 0 and i > 0:
-            body = prev_body  # exact duplicate, different url
-        elif i % 131 == 0 and i > 0:
+        elif i % 131 == 0:
             body = _near_dup(row_rng, prev_body, vocab)
         else:
             body = _doc_body(row_rng, vocab, cum, row_rng.randint(30, 400))
@@ -166,6 +172,7 @@ def generate_pages(n_docs: int, seed: int = SEED) -> "iter":
         else:
             html = _html_wrap(row_rng, f"Page {i}", body).encode("utf-8")
             text = None  # engine's extraction stage populates this
+        prev_html, prev_text = html, text if text is not None else ""
         yield {"url": url, "warc_ts": ts, "html": html, "text": text, "lang": lang}
 
 

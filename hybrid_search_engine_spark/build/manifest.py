@@ -112,10 +112,20 @@ def build_index(
     ``fail_after_shards`` is a test hook: simulate a crash after N shards
     completed (builds only those shards, records them, then raises).
     """
+    import sys
+
+    verbose = os.environ.get("HSE_BUILD_VERBOSE") == "1"
+
+    def _log(msg):
+        if verbose:
+            print(f"[build_index +{time.time() - t0:7.1f}s] {msg}",
+                  file=sys.stderr, flush=True)
+
     t0 = time.time()
     docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
     fp = source_fingerprint(docs)
+    _log("fingerprint done")
     done = done_shards(index_dir, fp)
     todo = [s for s in range(n_shards) if s not in done]
     simulate_crash = False
@@ -124,6 +134,7 @@ def build_index(
         simulate_crash = True
 
     tf, dstats, tstats, scalars = build_statistics(docs)
+    _log("statistics built")
 
     posting_path = os.path.join(index_dir, "postings")
     built = []
@@ -136,10 +147,12 @@ def build_index(
         # replaced; previously-completed shard dirs are untouched, and a
         # crashed shard's partial files are replaced exactly on retry
         write_postings(postings, posting_path, mode="overwrite")
+        _log("postings written")
         # per-shard metrics from what we just wrote
         stored = read_postings(spark, posting_path).where(
             F.col("shard_id").isin(todo))
         metrics = {r["shard_id"]: r.asDict() for r in shard_metrics(stored).collect()}
+        _log("shard metrics collected")
         elapsed = time.time() - t0
         mean_postings = (
             sum(m["n_postings"] for m in metrics.values()) / max(len(metrics), 1)
@@ -171,6 +184,7 @@ def build_index(
     if not simulate_crash:
         tstats.write.mode("overwrite").parquet(os.path.join(index_dir, "stats", "term_stats"))
         dstats.write.mode("overwrite").parquet(os.path.join(index_dir, "stats", "doc_stats"))
+        _log("stats tables written")
         with open(os.path.join(index_dir, "stats", "corpus.json"), "w") as f:
             json.dump({"doc_count": scalars.doc_count,
                        "avg_doc_len": scalars.avg_doc_len,
@@ -192,21 +206,44 @@ def build_index(
 
 
 class IndexReader:
-    """Query-side handle: postings + stats + corpus scalars."""
+    """Query-side handle: postings + stats + corpus scalars.
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    ``cache_term_stats=True`` pulls the term→idf dictionary to the driver
+    once (one job) so per-query latency pays zero stats lookups — right
+    whenever the vocabulary fits driver memory. At web scale leave it False:
+    queries then do a parquet point-lookup pruned by the term IN-list.
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 cache_term_stats: bool = True):
         self.spark = spark
         self.postings = read_postings(spark, os.path.join(index_dir, "postings"))
         self.term_stats = spark.read.parquet(
             os.path.join(index_dir, "stats", "term_stats"))
         with open(os.path.join(index_dir, "stats", "corpus.json")) as f:
             self.corpus = json.load(f)
+        self._tstats_arg = self.term_stats
+        if cache_term_stats:
+            self._tstats_arg = {
+                r["term"]: float(r["idf"])
+                for r in self.term_stats.select("term", "idf").collect()
+            }
 
     def search(self, query: str, k: int = 10, mode: str = "pruned"):
         from ..operators.wand import search_index
 
         return search_index(
-            self.spark, self.postings, self.term_stats,
+            self.spark, self.postings, self._tstats_arg,
             self.corpus["avg_doc_len"], query, k=k,
+            k1=self.corpus["k1"], b=self.corpus["b"], mode=mode,
+        )
+
+    def search_batch(self, queries: list, k: int = 10, mode: str = "pruned"):
+        """[(query_id, text)] → (query_id, rank, doc_id, score), one plan."""
+        from ..operators.wand import search_index_batch
+
+        return search_index_batch(
+            self.spark, self.postings, self._tstats_arg,
+            self.corpus["avg_doc_len"], queries, k=k,
             k1=self.corpus["k1"], b=self.corpus["b"], mode=mode,
         )

@@ -1,0 +1,738 @@
+"""Driver-contract queries, part 2: training-data-pipeline operators.
+
+Same conventions as contract.py (identical aliases both sides, rounded
+floats, BIGINT casts, '' for NULL text). Every hash function used in an
+oracle-checked query is md5/sha256/strpos-arithmetic so DuckDB replays it
+bit-for-bit; engine-internal xxhash64 variants (simhash64, LSH buckets) are
+covered by unit tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .contract import FLAGSHIP_QUERY, FLAGSHIP_TERMS, STOP_SQL, TOK_SQL, _docs
+from .functions.analysis import (
+    LANG_FUNCTION_WORDS,
+    content_fingerprint,
+    detect_language,
+    quality_columns,
+    rolling_prefix_hash,
+    token_count_columns,
+)
+from .operators.dedup import minhash_signatures, ngram_jaccard_pairs
+from .operators.similarity import knn_batch_pandas, knn_brute
+from .operators.textproc import chunk_documents, highlight
+from .sources.registry import load_table
+
+TOK_ALL = "regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9_]+')"
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (portable md5 form)
+# ---------------------------------------------------------------------------
+
+def q_minhash_sig(spark, sf_dir):
+    sig = minhash_signatures(_docs(spark, sf_dir), num_perm=4, shingle_k=3)
+    return sig.select("doc_id", *[F.col("sig")[i].alias(f"s{i}")
+                                  for i in range(4)])
+
+
+_SHINGLES_SQL = """
+CASE WHEN length(t) >= 3
+     THEN list_transform(range(1, length(t) - 1),
+                         i -> substr(t, CAST(i AS INT), 3))
+     ELSE [t] END
+"""
+
+SQL_MINHASH_SIG = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS s
+  FROM (SELECT doc_id, coalesce(text,'') AS t FROM documents)
+)
+SELECT doc_id,
+       min(md5('0:' || s)) AS s0, min(md5('1:' || s)) AS s1,
+       min(md5('2:' || s)) AS s2, min(md5('3:' || s)) AS s3
+FROM sh GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# token-bigram Jaccard near-dup pairs (exact — no df cap)
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard(spark, sf_dir):
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), n=2, threshold=0.3,
+                                df_cap=0)
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard_r"))
+
+
+_BIGRAMS_SQL = f"""
+CASE WHEN len({TOK_ALL}) >= 2
+     THEN list_transform(range(1, len({TOK_ALL})),
+                         i -> ({TOK_ALL})[CAST(i AS INT)] || ' ' || ({TOK_ALL})[CAST(i AS INT)+1])
+     ELSE [array_to_string({TOK_ALL}, ' ')] END
+"""
+
+SQL_NGRAM_JACCARD = f"""
+WITH g AS (SELECT doc_id, list_distinct({_BIGRAMS_SQL}) AS gs FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.gs, b.gs))::DOUBLE
+             / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 6
+             ) AS jaccard_r
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
+      / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash-16 (portable md5-nibble form; engine simhash64 is unit-tested)
+# ---------------------------------------------------------------------------
+
+def q_simhash16(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            "filter(split(lower(coalesce(text,'')), '[^a-z0-9_]+'), x -> x != '')"
+        )).alias("term"),
+    ).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    nib = [F.conv(F.substring(F.md5("term"), j + 1, 1), 16, 10).cast("int")
+           for j in range(4)]
+    bit_sums = [
+        F.sum(F.when(F.shiftright(nib[b // 4], 3 - (b % 4)).bitwiseAND(F.lit(1)) == 1,
+                     F.col("tf")).otherwise(-F.col("tf"))).alias(f"b{b}")
+        for b in range(16)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = F.lit(0)
+    for b in range(16):
+        sim = sim + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return agg.select("doc_id", sim.cast("int").alias("simhash16"))
+
+
+_NIB = "strpos('0123456789abcdef', substr(md5(term), {j}, 1)) - 1"
+_BITS_SQL = ",\n".join(
+    f"sum(CASE WHEN (({_NIB.format(j=b // 4 + 1)}) >> (3 - ({b} % 4))) & 1 = 1 "
+    f"THEN tf ELSE -tf END) AS b{b}"
+    for b in range(16)
+)
+_ASSEMBLE = " + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END"
+                       for b in range(16))
+
+SQL_SIMHASH16 = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({TOK_ALL}) AS term FROM documents)
+  GROUP BY doc_id, term
+), bits AS (SELECT doc_id, {_BITS_SQL} FROM tf GROUP BY doc_id)
+SELECT doc_id, CAST({_ASSEMBLE} AS INTEGER) AS simhash16 FROM bits
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def _target_vec(spark, sf_dir, vid: int) -> list:
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.where(F.col("vec_id") == vid).select("embedding").first()
+    return [float(x) for x in row["embedding"]]
+
+
+def q_knn_brute(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _target_vec(spark, sf_dir, 7)
+    res = knn_brute(emb, qvec, k=10)
+    return res.select("vec_id", F.round("cosine", 6).alias("cosine_r"))
+
+
+_COSINE_CTE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {vid}),
+ex AS (SELECT vec_id, unnest(embedding) AS v,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+qx AS (SELECT unnest(qv) AS qv_i, generate_subscripts(qv, 1) AS i FROM q),
+dots AS (
+  SELECT vec_id,
+         sum(CAST(v AS DOUBLE) * CAST(qv_i AS DOUBLE)) AS dot,
+         sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS n2
+  FROM ex JOIN qx USING (i) GROUP BY vec_id
+),
+qn AS (SELECT sum(CAST(qv_i AS DOUBLE) * CAST(qv_i AS DOUBLE)) AS q2 FROM qx)
+SELECT vec_id, dot / (sqrt(n2) * sqrt(q2)) AS cosine FROM dots, qn
+"""
+
+SQL_KNN_BRUTE = f"""
+SELECT vec_id, round(cosine, 6) AS cosine_r FROM ({_COSINE_CTE.format(vid=7)})
+ORDER BY round(cosine, 9) DESC, vec_id LIMIT 10
+"""
+
+
+def q_knn_batch(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = {qid: _target_vec(spark, sf_dir, vid)
+               for qid, vid in ((0, 3), (1, 7), (2, 11))}
+    res = knn_batch_pandas(spark, emb, queries, k=5)
+    return res.select("query_id", "rank", "vec_id",
+                      F.round("cosine", 6).alias("cosine_r"))
+
+
+def _knn_one_sql(qid, vid):
+    return f"""
+SELECT {qid} AS query_id,
+       CAST(row_number() OVER (ORDER BY round(cosine,9) DESC, vec_id) AS INTEGER) AS rank,
+       vec_id, round(cosine, 6) AS cosine_r
+FROM ({_COSINE_CTE.format(vid=vid)})
+QUALIFY rank <= 5
+"""
+
+
+SQL_KNN_BATCH = " UNION ALL ".join(
+    f"SELECT * FROM ({_knn_one_sql(q, v)})" for q, v in ((0, 3), (1, 7), (2, 11)))
+
+
+def q_embedding_near_pairs(spark, sf_dir):
+    """Exact cosine ≥ 0.9 pairs (brute pair generation — the LSH-bucketed
+    variant is probabilistic and unit-tested for recall instead)."""
+    from .operators.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.9, n_planes=0)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+
+
+SQL_EMBEDDING_NEAR_PAIRS = """
+WITH ex AS (SELECT vec_id, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+norms AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+          FROM ex GROUP BY vec_id)
+SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine_r
+FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+WHERE dot / (na.nrm * nb.nrm) >= 0.9
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_lang_detect(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", F.col("lang").alias("lang_given"),
+                    detect_language("text").alias("lang_detected"))
+
+
+def _ratio_sql(words):
+    lst = "[" + ",".join(f"'{w}'" for w in words) + "]"
+    return (f"CASE WHEN len({TOK_ALL}) > 0 THEN "
+            f"len(list_filter({TOK_ALL}, t -> list_contains({lst}, t)))::DOUBLE"
+            f" / len({TOK_ALL}) ELSE 0.0 END")
+
+
+SQL_LANG_DETECT = f"""
+WITH r AS (
+  SELECT doc_id, lang AS lang_given,
+         {_ratio_sql(LANG_FUNCTION_WORDS['en'])} AS s_en,
+         {_ratio_sql(LANG_FUNCTION_WORDS['de'])} AS s_de,
+         {_ratio_sql(LANG_FUNCTION_WORDS['fr'])} AS s_fr,
+         {_ratio_sql(LANG_FUNCTION_WORDS['es'])} AS s_es
+  FROM documents
+)
+SELECT doc_id, lang_given,
+       CASE WHEN s_es > greatest(0.02, s_en, s_de, s_fr) THEN 'es'
+            WHEN s_fr > greatest(0.02, s_en, s_de) THEN 'fr'
+            WHEN s_de > greatest(0.02, s_en) THEN 'de'
+            WHEN s_en > 0.02 THEN 'en'
+            ELSE 'und' END AS lang_detected
+FROM r
+"""
+
+
+def q_quality(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", *quality_columns("text"))
+
+
+_STOPLIST = "[" + ",".join(f"'{w}'" for w in LANG_FUNCTION_WORDS["en"]) + "]"
+
+SQL_QUALITY = f"""
+WITH b AS (
+  SELECT doc_id, coalesce(text,'') AS t, {TOK_ALL} AS tk FROM documents
+), m AS (
+  SELECT doc_id, t, tk,
+    CAST(length(t) AS INTEGER) AS n_chars, CAST(len(tk) AS INTEGER) AS n_tokens,
+    CASE WHEN len(tk) > 0 THEN
+      list_aggregate(list_transform(tk, x -> length(x)), 'sum')::DOUBLE / len(tk)
+    ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(tk) > 0 THEN
+      len(list_filter(tk, x -> list_contains({_STOPLIST}, x)))::DOUBLE / len(tk)
+    ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN len(tk) > 0 THEN
+      len(list_distinct(tk))::DOUBLE / len(tk) ELSE 0.0 END AS unique_ratio,
+    CASE WHEN length(t) > 0 THEN
+      1.0 - length(regexp_replace(t, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(t)
+    ELSE 1.0 END AS non_alnum_ratio,
+    CASE WHEN length(t) > 0 THEN
+      length(regexp_replace(t, '[^0-9]', '', 'g'))::DOUBLE / length(t)
+    ELSE 0.0 END AS digit_ratio
+  FROM b
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(unique_ratio, 6) AS unique_ratio,
+       round(non_alnum_ratio, 6) AS non_alnum_ratio,
+       round(digit_ratio, 6) AS digit_ratio,
+       (n_tokens >= 10 AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+        AND stopword_ratio >= 0.03 AND unique_ratio >= 0.2
+        AND non_alnum_ratio <= 0.6 AND digit_ratio <= 0.3) AS is_quality
+FROM m
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", *token_count_columns("text"))
+
+
+SQL_TOKEN_COUNTS = rf"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split_regex(trim(coalesce(text,'')), '\s+'),
+           x -> x <> '')) AS INTEGER) AS ws_word_count,
+  CAST(len({TOK_ALL}) AS INTEGER) AS regex_token_count,
+  greatest(
+    CAST(len(list_filter(string_split_regex(trim(coalesce(text,'')), '\s+'),
+             x -> x <> '')) AS BIGINT),
+    CAST(ceil(length(coalesce(text,'')) / 4.0) AS BIGINT)) AS subword_estimate
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        content_fingerprint("text").alias("content_fp"),
+        rolling_prefix_hash("text").alias("prefix_fp"),
+    )
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct({TOK_ALL})), ' ')) AS content_fp,
+  md5(substr(coalesce(text,''), 1, 256)) AS prefix_fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# chunking + highlighting
+# ---------------------------------------------------------------------------
+
+def q_chunk_sentences(spark, sf_dir):
+    return chunk_documents(_docs(spark, sf_dir), mode="sentence")
+
+
+SQL_CHUNK_SENTENCES = r"""
+WITH l AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           regexp_replace(coalesce(text,''), '([.!?])\s+', '\1' || chr(1), 'g'),
+           chr(1)), x -> trim(x) <> '') AS parts
+  FROM documents
+)
+SELECT doc_id,
+       CAST(generate_subscripts(parts, 1) - 1 AS INTEGER) AS chunk_id,
+       unnest(parts) AS chunk_text
+FROM l
+"""
+
+
+def q_chunk_fixed(spark, sf_dir):
+    return chunk_documents(_docs(spark, sf_dir), mode="fixed",
+                           chunk_tokens=8, overlap=3)
+
+
+SQL_CHUNK_FIXED = f"""
+WITH b AS (SELECT doc_id, {TOK_ALL} AS tk FROM documents),
+s AS (
+  SELECT doc_id, tk, unnest(range(0, greatest(len(tk), 1), 5)) AS start
+  FROM b
+)
+SELECT doc_id,
+       CAST(start // 5 AS INTEGER) AS chunk_id,
+       array_to_string(tk[CAST(start AS INT) + 1 : CAST(start AS INT) + 8], ' ') AS chunk_text
+FROM s WHERE start < len(tk)
+"""
+
+
+def q_highlight(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id",
+                    highlight("text", FLAGSHIP_TERMS).alias("highlighted"))
+
+
+_HL_PAT = "(?i)\\b(" + "|".join(FLAGSHIP_TERMS) + ")\\b"
+
+SQL_HIGHLIGHT = f"""
+SELECT doc_id,
+       regexp_replace(coalesce(text,''), '{_HL_PAT}', '<mark>\\1</mark>', 'g'
+                      ) AS highlighted
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# metadata filter compiler
+# ---------------------------------------------------------------------------
+
+def q_metadata_filter(spark, sf_dir):
+    from .operators.metadata_filter import apply_filter
+
+    e = load_table(spark, sf_dir, "events")
+    out = apply_filter(e, "k:>50 AND event_type:click", metadata_col="props")
+    return out.select("event_id", "user_id", "event_type")
+
+
+SQL_METADATA_FILTER = """
+SELECT event_id, user_id, event_type FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
+  AND event_type = 'click'
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessionization (gap-based, 30 min)
+# ---------------------------------------------------------------------------
+
+def q_sessionize(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)))
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+SQL_SESSIONIZE = """
+WITH m AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, value,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+  FROM m
+)
+SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# hybrid fusion (semantic cosine + lexical BM25, min-max fused)
+# ---------------------------------------------------------------------------
+
+def q_fuse_hybrid(spark, sf_dir):
+    from .contract import K1, B
+    from .operators import score as score_ops
+    from .operators import stats as stats_ops
+    from .operators.fusion import fuse_hybrid
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _target_vec(spark, sf_dir, 7)
+    from .operators.similarity import _dot_lit, _norm
+
+    import numpy as np
+
+    qn = float(np.sqrt(np.dot(qvec, qvec))) or 1.0
+    sem = emb.select(
+        F.lit(0).alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        (_dot_lit(F.col("embedding"), qvec)
+         / (_norm(F.col("embedding")) * F.lit(qn))).alias("sem_score"),
+    )
+    docs = _docs(spark, sf_dir)
+    tf, dstats, tstats, scalars = stats_ops.build_statistics(docs)
+    qt = score_ops.query_terms_df(spark, FLAGSHIP_QUERY)
+    lex = score_ops.score_query_terms(qt, tf, tstats, dstats,
+                                      scalars.avg_doc_len, K1, B)
+    lex = lex.select("query_id", "doc_id", F.col("score").alias("lex_score"))
+    fused = fuse_hybrid(sem, lex, 0.7, 0.3, query_col="query_id", k=20)
+    return fused.select("doc_id", "rank",
+                        F.round("hybrid_score", 6).alias("hybrid_r"))
+
+
+def _sql_fuse_hybrid():
+    return f"""
+WITH sem_raw AS ({_COSINE_CTE.format(vid=7)}),
+lex_full AS (
+  WITH tf AS (
+    SELECT doc_id, term, count(*)::DOUBLE AS tf
+    FROM (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents)
+    GROUP BY doc_id, term
+  ),
+  dl AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+  n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+  avgdl AS (SELECT sum(len({TOK_SQL}))::DOUBLE / (SELECT n FROM n) AS avgdl
+            FROM documents),
+  ts AS (SELECT term, ln(((SELECT n FROM n) - count(*) + 0.5)
+                         / (count(*) + 0.5) + 1.0) AS idf
+         FROM tf GROUP BY term)
+  SELECT tf.doc_id,
+         sum(ts.idf * tf.tf * (1.5 + 1.0)
+             / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * dl.doc_len
+                               / (SELECT avgdl FROM avgdl)))) AS lex_score
+  FROM tf JOIN ts USING (term) JOIN dl USING (doc_id)
+  WHERE tf.term IN ({",".join(f"'{t}'" for t in FLAGSHIP_TERMS)})
+  GROUP BY tf.doc_id
+),
+sem_n AS (
+  SELECT vec_id AS doc_id,
+         CASE WHEN max(cosine) OVER () = min(cosine) OVER () THEN 1.0
+              ELSE (cosine - min(cosine) OVER ())
+                   / (max(cosine) OVER () - min(cosine) OVER ()) END AS sem_n
+  FROM sem_raw
+),
+lex_n AS (
+  SELECT doc_id,
+         CASE WHEN max(lex_score) OVER () = min(lex_score) OVER () THEN 1.0
+              ELSE (lex_score - min(lex_score) OVER ())
+                   / (max(lex_score) OVER () - min(lex_score) OVER ()) END AS lex_n
+  FROM lex_full
+),
+fused AS (
+  SELECT coalesce(s.doc_id, l.doc_id) AS doc_id,
+         0.7 * coalesce(s.sem_n, 0.0) + 0.3 * coalesce(l.lex_n, 0.0)
+           AS hybrid_score
+  FROM sem_n s FULL OUTER JOIN lex_n l ON s.doc_id = l.doc_id
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY round(hybrid_score, 9) DESC, doc_id)
+            AS INTEGER) AS rank,
+       round(hybrid_score, 6) AS hybrid_r
+FROM fused
+QUALIFY rank <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# IR evaluation metrics (flagship ranking vs 'spark'-containing truth set)
+# ---------------------------------------------------------------------------
+
+def q_evaluate(spark, sf_dir):
+    from .contract import q_bm25_topk
+    from .operators.fusion import evaluate_rankings
+
+    d = _docs(spark, sf_dir)
+    res = q_bm25_topk(spark, sf_dir).withColumn("query_id", F.lit(0))
+    res = res.withColumn(
+        "rank",
+        F.row_number().over(Window.partitionBy("query_id").orderBy(
+            F.col("score_r").desc(), F.col("doc_id").asc())))
+    truth = d.where(
+        F.array_contains(F.expr(
+            "filter(split(lower(coalesce(text,'')), '[^a-z0-9_]+'), x -> x != '')"
+        ), "spark")).select(F.lit(0).alias("query_id"), "doc_id")
+    per_q = evaluate_rankings(res.select("query_id", "rank", "doc_id"),
+                              truth, k=10)
+    return per_q.select(
+        "query_id",
+        F.round("precision_at_k", 6).alias("precision_r"),
+        F.round("recall_at_k", 6).alias("recall_r"),
+        F.round("f1", 6).alias("f1_r"),
+        F.round("mrr", 6).alias("mrr_r"),
+        F.round("ndcg_at_k", 6).alias("ndcg_r"),
+    )
+
+
+def _sql_evaluate():
+    from .contract import _bm25_sql
+
+    return f"""
+WITH results AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY round(score_r, 9) DESC, doc_id)
+              AS INTEGER) AS rank
+  FROM ({_bm25_sql(FLAGSHIP_TERMS, k=10)})
+),
+truth AS (
+  SELECT doc_id FROM documents
+  WHERE list_contains({TOK_ALL}, 'spark')
+),
+hit AS (
+  SELECT r.rank, CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM results r LEFT JOIN truth t USING (doc_id)
+),
+agg AS (
+  SELECT sum(rel) AS n_hits,
+         min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+         sum(CASE WHEN rel = 1 THEN 1.0 / log2(rank + 1) ELSE 0.0 END) AS dcg,
+         (SELECT count(*) FROM truth) AS n_relevant
+  FROM hit
+)
+SELECT 0 AS query_id,
+  round(n_hits / 10.0, 6) AS precision_r,
+  round(CASE WHEN n_relevant > 0 THEN n_hits::DOUBLE / n_relevant ELSE 0.0 END, 6) AS recall_r,
+  round(CASE WHEN n_hits / 10.0 + CASE WHEN n_relevant > 0 THEN n_hits::DOUBLE / n_relevant ELSE 0.0 END > 0
+        THEN 2 * (n_hits / 10.0) * (CASE WHEN n_relevant > 0 THEN n_hits::DOUBLE / n_relevant ELSE 0.0 END)
+             / (n_hits / 10.0 + CASE WHEN n_relevant > 0 THEN n_hits::DOUBLE / n_relevant ELSE 0.0 END)
+        ELSE 0.0 END, 6) AS f1_r,
+  round(CASE WHEN first_rel IS NOT NULL THEN 1.0 / first_rel ELSE 0.0 END, 6) AS mrr_r,
+  round(CASE WHEN n_relevant > 0 THEN
+    dcg / list_aggregate(list_transform(range(1, least(n_relevant, 10) + 1),
+                                        i -> 1.0 / log2(CAST(i AS DOUBLE) + 1.0)), 'sum')
+  ELSE 0.0 END, 6) AS ndcg_r
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# WAND path over the posting index (SQL-verified against the same oracle)
+# ---------------------------------------------------------------------------
+
+def q_bm25_topk_wand(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    from .build.manifest import IndexReader, build_index
+
+    d = _docs(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"hse_contract_idx_{tag}")
+    build_index(spark, d, idx_dir, n_shards=8)  # resumes/no-ops if built
+    reader = IndexReader(spark, idx_dir)
+    res = reader.search(FLAGSHIP_QUERY, k=10)
+    return res.select("doc_id", F.round("score", 6).alias("score_r"))
+
+
+# ---------------------------------------------------------------------------
+# streaming: availableNow windowed counts (same oracle as batch windows)
+# ---------------------------------------------------------------------------
+
+def q_stream_event_windows(spark, sf_dir):
+    import os
+
+    from .streaming.ingest import as_stream_dir
+
+    events_schema = ("event_id bigint, ts timestamp, user_id bigint, "
+                     "event_type string, value double, props string")
+    stream = (
+        spark.readStream.schema(events_schema)
+        .parquet(as_stream_dir(os.path.join(sf_dir, "events.parquet")))
+    )
+    agg = (
+        stream.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"),
+                          "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    name = "hse_stream_windows"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (rows-only check — features are hash-derived fakes)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_features(spark, sf_dir):
+    from .operators.multimodal import extract_features
+
+    d = _docs(spark, sf_dir)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.lit(64).alias("width"), F.lit(64).alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media, deterministic_fake=True)
+    return feats.select("media_id", "decode_ok",
+                        F.size("feature").alias("feature_dim"))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES_EXT = {
+    "minhash_sig": q_minhash_sig,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash16": q_simhash16,
+    "knn_brute": q_knn_brute,
+    "knn_batch": q_knn_batch,
+    "embedding_near_pairs": q_embedding_near_pairs,
+    "lang_detect": q_lang_detect,
+    "quality": q_quality,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    "chunk_sentences": q_chunk_sentences,
+    "chunk_fixed": q_chunk_fixed,
+    "highlight": q_highlight,
+    "metadata_filter": q_metadata_filter,
+    "sessionize": q_sessionize,
+    "fuse_hybrid": q_fuse_hybrid,
+    "evaluate_ranking": q_evaluate,
+    "bm25_topk_wand": q_bm25_topk_wand,
+    "stream_event_windows": q_stream_event_windows,
+    "multimodal_features": q_multimodal_features,
+}
+
+
+def _oracles_ext():
+    from .contract import SQL_BM25_TOPK, SQL_EVENT_WINDOWS
+
+    return {
+        "minhash_sig": SQL_MINHASH_SIG,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "simhash16": SQL_SIMHASH16,
+        "knn_brute": SQL_KNN_BRUTE,
+        "knn_batch": SQL_KNN_BATCH,
+        "embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,
+        "lang_detect": SQL_LANG_DETECT,
+        "quality": SQL_QUALITY,
+        "token_counts": SQL_TOKEN_COUNTS,
+        "fingerprint": SQL_FINGERPRINT,
+        "chunk_sentences": SQL_CHUNK_SENTENCES,
+        "chunk_fixed": SQL_CHUNK_FIXED,
+        "highlight": SQL_HIGHLIGHT,
+        "metadata_filter": SQL_METADATA_FILTER,
+        "sessionize": SQL_SESSIONIZE,
+        "fuse_hybrid": _sql_fuse_hybrid(),
+        "evaluate_ranking": _sql_evaluate(),
+        "bm25_topk_wand": SQL_BM25_TOPK,
+        "stream_event_windows": SQL_EVENT_WINDOWS,
+        # multimodal_features: rows-only (hash-derived fake features)
+    }
+
+
+ORACLES_EXT = _oracles_ext()

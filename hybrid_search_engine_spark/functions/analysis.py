@@ -1,0 +1,138 @@
+"""Text-analysis operators for training-data pipelines.
+
+All native column expressions (codegen'd, no Python workers):
+
+- language-ID heuristic (stopword-hit ratio per language's function-word
+  list + script detection by unicode-range counts; reference semantics
+  model: language.py:66-168)
+- quality scoring (length / punctuation / stopword / uniqueness ratios —
+  the standard web-text quality gates)
+- token counting (whitespace words, regex tokens, BPE-ish subword estimate)
+- document fingerprinting (order-insensitive content fingerprint + rolling
+  prefix hash)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..reference_semantics import STOPWORDS
+from .text import tokens_native
+
+# Function-word lists for the language-ID heuristic. English list = the
+# reference stopword set; others are standard closed-class words.
+LANG_FUNCTION_WORDS = {
+    "en": sorted(STOPWORDS),
+    "de": ("der die das und oder aber ein eine einer nicht ist sind war mit "
+           "von zu für auf im den dem des sie er es wir ihr ich du".split()),
+    "fr": ("le la les un une des et ou mais ne pas est sont était avec de "
+           "du au aux pour sur dans il elle nous vous ils je tu ce cette".split()),
+    "es": ("el la los las un una unos y o pero no es son era con de del al "
+           "para en por que se su ellos nosotros yo tú usted esta este".split()),
+}
+
+
+def _hit_ratio(toks: Column, words: list[str]) -> Column:
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.when(
+        F.size(toks) > 0,
+        F.size(F.filter(toks, lambda t: F.array_contains(wl, t))).cast("double")
+        / F.size(toks),
+    ).otherwise(F.lit(0.0))
+
+
+def lang_scores(text_col) -> list[Column]:
+    toks = tokens_native(text_col, remove_stopwords=False)
+    return [
+        _hit_ratio(toks, ws).alias(f"score_{lang}")
+        for lang, ws in LANG_FUNCTION_WORDS.items()
+    ]
+
+
+def detect_language(text_col) -> Column:
+    """argmax over per-language function-word hit ratios; 'und' (undetermined)
+    when no language scores above a floor."""
+    toks = tokens_native(text_col, remove_stopwords=False)
+    scores = [(lang, _hit_ratio(toks, ws))
+              for lang, ws in LANG_FUNCTION_WORDS.items()]
+    best = F.lit("und")
+    best_score = F.lit(0.02)  # floor
+    for lang, sc in scores:
+        cond = sc > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, sc).otherwise(best_score)
+    return best
+
+
+def quality_columns(text_col) -> list[Column]:
+    """Web-text quality gates as columns: char/token counts, mean word
+    length, stopword ratio, non-alnum ratio, uniqueness, digit ratio,
+    plus a composite is_quality flag."""
+    c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col,
+                   F.lit(""))
+    toks = tokens_native(c, remove_stopwords=False)
+    n_tok = F.size(toks)
+    n_char = F.length(c)
+    alnum = F.length(F.regexp_replace(c, r"[^A-Za-z0-9]", ""))
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    stop_ratio = _hit_ratio(toks, sorted(STOPWORDS))
+    uniq_ratio = F.when(n_tok > 0,
+                        F.size(F.array_distinct(toks)).cast("double") / n_tok
+                        ).otherwise(F.lit(0.0))
+    mean_wlen = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0.0).cast("double"),
+                    lambda a, t: a + F.length(t)) / n_tok,
+    ).otherwise(F.lit(0.0))
+    non_alnum_ratio = F.when(n_char > 0,
+                             1.0 - alnum.cast("double") / n_char
+                             ).otherwise(F.lit(1.0))
+    digit_ratio = F.when(n_char > 0, digits.cast("double") / n_char
+                         ).otherwise(F.lit(0.0))
+    is_quality = (
+        (n_tok >= 10) & (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+        & (stop_ratio >= 0.03) & (uniq_ratio >= 0.2)
+        & (non_alnum_ratio <= 0.6) & (digit_ratio <= 0.3)
+    )
+    return [
+        n_char.alias("n_chars"), n_tok.alias("n_tokens"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(uniq_ratio, 6).alias("unique_ratio"),
+        F.round(non_alnum_ratio, 6).alias("non_alnum_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        is_quality.alias("is_quality"),
+    ]
+
+
+def token_count_columns(text_col) -> list[Column]:
+    """Three token-count estimators: whitespace words, regex tokens, and a
+    BPE-ish subword estimate (≈ chars/4 bounded below by word count — the
+    standard quick estimator for LLM token budgeting)."""
+    c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col,
+                   F.lit(""))
+    ws_words = F.size(F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != ""))
+    rx_tokens = F.size(tokens_native(c))
+    subword_est = F.greatest(
+        ws_words.cast("long"),
+        F.ceil(F.length(c) / F.lit(4.0)).cast("long"),
+    )
+    return [ws_words.alias("ws_word_count"),
+            rx_tokens.alias("regex_token_count"),
+            subword_est.alias("subword_estimate")]
+
+
+def content_fingerprint(text_col) -> Column:
+    """Order-insensitive token-set fingerprint: md5 of the sorted distinct
+    token list — equal for any permutation/duplication of the same
+    vocabulary (bag-normalized near-dup key)."""
+    toks = F.array_sort(F.array_distinct(tokens_native(text_col)))
+    return F.md5(F.concat_ws(" ", toks))
+
+
+def rolling_prefix_hash(text_col, prefix_chars: int = 256) -> Column:
+    """Prefix fingerprint (cheap clustering key for boilerplate headers)."""
+    c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col,
+                   F.lit(""))
+    return F.md5(F.substring(c, 1, prefix_chars))

@@ -39,11 +39,14 @@ BLOCK_SIZE_DEFAULT = 128
 # ---------------------------------------------------------------------------
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """uint64 array → LEB128 bytes. Vectorized: ≤10 passes over the array."""
+def varint_encode_ex(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """uint64 array → (LEB128 bytes, per-value byte lengths).
+
+    The lengths array lets callers slice the stream into sub-ranges (e.g.
+    per posting block) without re-encoding. Vectorized: ≤10 passes."""
     vals = np.ascontiguousarray(values, dtype=np.uint64)
     if vals.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     # bytes needed per value: ceil(bitlen/7), min 1
     nbytes = np.ones(vals.shape, dtype=np.int64)
     cur = vals >> np.uint64(7)
@@ -65,7 +68,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         cur >>= np.uint64(7)
         active = more
         r += 1
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """uint64 array → LEB128 bytes."""
+    return varint_encode_ex(values)[0]
 
 
 def varint_decode(buf: bytes, n: int | None = None) -> np.ndarray:
@@ -123,9 +131,10 @@ def encode_posting_list(doc_ids: np.ndarray, tfs: np.ndarray,
     for s in range(0, n, block_size):
         e = min(s + block_size, n)
         d = doc_ids[s:e]
+        du = d.view(np.uint64)
         deltas = np.empty(e - s, dtype=np.uint64)
         deltas[0] = 0  # first doc stored absolutely in first_doc
-        deltas[1:] = (d[1:] - d[:-1]).astype(np.uint64)
+        deltas[1:] = du[1:] - du[:-1]  # uint64 gap, overflow-safe
         blocks.append({
             "block_id": s // block_size,
             "first_doc": int(d[0]),
@@ -142,13 +151,16 @@ def encode_posting_list(doc_ids: np.ndarray, tfs: np.ndarray,
 
 def decode_block(first_doc: int, n: int, deltas: bytes, tfs: bytes,
                  dls: bytes | None = None):
-    """→ (doc_ids int64[n], tfs int64[n][, dls int64[n]])."""
-    gaps = varint_decode(deltas, n - 1).astype(np.int64)
-    docs = np.empty(n, dtype=np.int64)
-    docs[0] = first_doc
-    if n > 1:
-        np.cumsum(gaps, out=docs[1:])
-        docs[1:] += first_doc
+    """→ (doc_ids int64[n], tfs int64[n][, dls int64[n]]).
+
+    Reconstruction runs in uint64 (mod-2^64 cumsum) then reinterprets as
+    int64 — exact for full-range signed ids."""
+    gaps = varint_decode(deltas, n - 1)
+    docs_u = np.empty(n, dtype=np.uint64)
+    docs_u[0] = np.uint64(int(first_doc) & 0xFFFFFFFFFFFFFFFF)
+    docs_u[1:] = gaps
+    np.cumsum(docs_u, out=docs_u)
+    docs = docs_u.view(np.int64)
     tf = varint_decode(tfs, n).astype(np.int64)
     if dls is None:
         return docs, tf
@@ -170,6 +182,97 @@ def decode_posting_blocks(block_rows):
         return z, z.copy(), z.copy()
     return (np.concatenate(docs_parts), np.concatenate(tf_parts),
             np.concatenate(dl_parts))
+
+
+def encode_runs(shard: np.ndarray, term: np.ndarray, doc: np.ndarray,
+                tf: np.ndarray, dl: np.ndarray, idf: np.ndarray,
+                avgdl: float, k1: float, b: float,
+                block_size: int = BLOCK_SIZE_DEFAULT):
+    """Vectorized block encoding of MANY posting runs at once.
+
+    Input: columnar arrays sorted by (shard, term, doc). Produces one dict of
+    column arrays/lists for all blocks of all (shard, term) runs — a single
+    numpy pass regardless of how many runs the batch contains (the per-run
+    Python loop was the build bottleneck: ~180 µs/run × 10^5 runs/batch).
+    Only the final byte-slicing touches Python, one cheap slice per block.
+    """
+    import pandas as pd
+
+    n = doc.size
+    if n == 0:
+        return None
+    doc = doc.astype(np.int64)
+    tf64 = tf.astype(np.int64)
+    dl64 = dl.astype(np.int64)
+
+    # run boundaries (shard or term changes)
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (shard[1:] != shard[:-1]) | (term[1:] != term[:-1])
+    run_id = np.cumsum(new_run) - 1
+    run_start_pos = np.flatnonzero(new_run)
+    pos_in_run = np.arange(n) - run_start_pos[run_id]
+
+    # strict ordering within runs (postings invariant) — signed compare;
+    # gaps computed in uint64 so full-range int64 ids (xxhash64) can't
+    # overflow: for doc[i+1] > doc[i] the two's-complement difference IS the
+    # true unsigned gap
+    not_increasing = np.empty(n, dtype=bool)
+    not_increasing[0] = False
+    not_increasing[1:] = doc[1:] <= doc[:-1]
+    if np.any(not_increasing & ~new_run):
+        raise ValueError("doc_ids must be strictly increasing within a run")
+    doc_u = doc.view(np.uint64)
+    gaps_full = np.empty(n, dtype=np.uint64)
+    gaps_full[0] = 0
+    gaps_full[1:] = doc_u[1:] - doc_u[:-1]
+
+    # block segmentation
+    block_start = (pos_in_run % block_size) == 0
+    starts = np.flatnonzero(block_start)
+    ends = np.empty(starts.size, dtype=np.int64)
+    ends[:-1] = starts[1:]
+    ends[-1] = n
+    n_blk = ends - starts
+
+    impacts = bm25_impact(tf64, dl64, idf, avgdl, k1, b)
+    max_tf = np.maximum.reduceat(tf64, starts)
+    max_score = np.maximum.reduceat(impacts, starts)
+
+    # delta stream: every element except block firsts contributes one gap
+    sel = ~block_start
+    gap_buf, gap_len = varint_encode_ex(gaps_full[sel])
+    gap_cum = np.zeros(gap_len.size + 1, dtype=np.int64)
+    np.cumsum(gap_len, out=gap_cum[1:])
+    sel_counts = n_blk - 1
+    sel_starts = np.zeros(starts.size, dtype=np.int64)
+    np.cumsum(sel_counts[:-1], out=sel_starts[1:])
+    gap_b0 = gap_cum[sel_starts]
+    gap_b1 = gap_cum[sel_starts + sel_counts]
+
+    # tf / dl streams: every element contributes
+    tf_buf, tf_len = varint_encode_ex(tf64.astype(np.uint64))
+    dl_buf, dl_len = varint_encode_ex(dl64.astype(np.uint64))
+    tf_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tf_len, out=tf_cum[1:])
+    dl_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(dl_len, out=dl_cum[1:])
+    tf_b0, tf_b1 = tf_cum[starts], tf_cum[ends]
+    dl_b0, dl_b1 = dl_cum[starts], dl_cum[ends]
+
+    return pd.DataFrame({
+        "shard_id": shard[starts].astype(np.int32),
+        "term": term[starts],
+        "block_id": (pos_in_run[starts] // block_size).astype(np.int32),
+        "first_doc": doc[starts],
+        "last_doc": doc[ends - 1],
+        "n": n_blk.astype(np.int32),
+        "deltas": [gap_buf[a:c] for a, c in zip(gap_b0, gap_b1)],
+        "tfs": [tf_buf[a:c] for a, c in zip(tf_b0, tf_b1)],
+        "dls": [dl_buf[a:c] for a, c in zip(dl_b0, dl_b1)],
+        "max_tf": max_tf.astype(np.int32),
+        "max_score": max_score.astype(np.float64),
+    })
 
 
 def skip_to(first_docs: np.ndarray, last_docs: np.ndarray, target_doc: int) -> int:

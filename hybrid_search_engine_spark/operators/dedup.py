@@ -1,0 +1,327 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five families, all pure DataFrame ops (no Python UDFs — every hash is a
+deterministic SQL expression so results are engine-portable and the DuckDB
+oracle can replay them):
+
+- exact_duplicates:    sha2-256 content groups                (reference
+  semantics: deduplication.py:111-124 — SHA-256 exact fingerprint)
+- minhash_lsh:         k-shingle MinHash signatures + banded LSH self-join +
+  exact-Jaccard verify (reference: MinHashDeduplicator, num_perm/threshold,
+  deduplication.py:52-77,126-176). Signatures here are md5-based min-hashes:
+  sig_i(doc) = min over shingles of md5(i || ':' || shingle) — deterministic,
+  portable, and exactly reproducible in ANSI SQL.
+- simhash:             64-bit SimHash over token md5 bits, hamming-verify
+- ngram_jaccard:       token-n-gram set Jaccard via explode + self-join
+- embedding_near_dup:  cosine ≥ threshold pairs over array<float> embeddings
+
+Scale notes: every family reduces to (1) a per-doc signature (hash agg,
+map-side combinable), (2) an equi-join on a bucket key (shuffle on the
+bucket), (3) a cheap verify on the candidate pairs. Hot buckets (boilerplate
+shingles) are the skew risk — `band_bucket_cap` drops degenerate buckets
+(standard practice: a bucket with B docs yields B² candidates; capping
+bounds the join blowup and only ever *misses* near-dups that share solely
+degenerate bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_native
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, canonical_doc_id, is_duplicate): sha2-256 groups, min id
+    canonical. One window over the hash — a single shuffle."""
+    w = Window.partitionBy("content_hash")
+    return (
+        docs.withColumn("content_hash",
+                        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256))
+        .withColumn("canonical_doc_id", F.min(id_col).over(w))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            "canonical_doc_id",
+            (F.col(id_col) != F.col("canonical_doc_id")).alias("is_duplicate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def char_shingles(col, k: int = 3):
+    """Character k-shingles as a native expression (deduplication.py:104-109
+    semantics: sliding window over the raw string)."""
+    c = F.coalesce(col if not isinstance(col, str) else F.col(col), F.lit(""))
+    n = F.length(c)
+    return F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: c.substr(i, F.lit(k))),
+    ).otherwise(F.array(c))
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_perm: int = 16,
+                       shingle_k: int = 3) -> DataFrame:
+    """→ (doc_id, sig array<string>[num_perm]).
+
+    sig_i = min(md5(i || ':' || shingle)): md5 output is uniform, so the min
+    over a set behaves as an independent permutation per i — the standard
+    MinHash estimator, expressed portably. explode+groupBy keeps it fully
+    map-side-combinable (min is algebraic)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(char_shingles(F.col(text_col), shingle_k))
+                  ).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"s{i}")
+        for i in range(num_perm)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"s{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 16,
+                      bands: int = 4, shingle_k: int = 3,
+                      jaccard_threshold: float = 0.8,
+                      band_bucket_cap: int = 200) -> DataFrame:
+    """→ (doc_a, doc_b, jaccard) near-duplicate pairs.
+
+    Pipeline: signatures → explode into `bands` band-hashes → self-equi-join
+    on (band_id, band_hash) with doc_a < doc_b → exact shingle-Jaccard
+    verify ≥ threshold. Candidate generation cost is Σ_buckets B², hence the
+    cap on degenerate buckets."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(docs, text_col, id_col, num_perm, shingle_k)
+    banded = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bnd).alias("band_id"),
+                F.md5(F.concat_ws("|", *[
+                    F.col("sig")[bnd * rows_per_band + r]
+                    for r in range(rows_per_band)
+                ])).alias("band_hash"),
+            )
+            for bnd in range(bands)
+        ])).alias("b"),
+    ).select("doc_id", "b.band_id", "b.band_hash")
+
+    if band_bucket_cap:
+        wcap = Window.partitionBy("band_id", "band_hash")
+        banded = (
+            banded.withColumn("bucket_n", F.count(F.lit(1)).over(wcap))
+            .where(F.col("bucket_n") <= band_bucket_cap)
+            .drop("bucket_n")
+        )
+
+    a = banded.alias("a")
+    bdf = banded.alias("b")
+    cand = (
+        a.join(bdf, ["band_id", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    shingle_sets = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(char_shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    verified = (
+        cand.join(shingle_sets.select(F.col("doc_id").alias("doc_a"),
+                                      F.col("sh").alias("sh_a")), "doc_a")
+        .join(shingle_sets.select(F.col("doc_id").alias("doc_b"),
+                                  F.col("sh").alias("sh_b")), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double"))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")).cast("double"))
+        .withColumn("jaccard", F.col("inter") / F.col("uni"))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+              ) -> DataFrame:
+    """→ (doc_id, simhash bigint): sign-sum of xxhash64 token bits weighted
+    by tf. Pure aggregation: explode tokens → per (doc, bit) majority vote
+    via SUM over ±tf → assemble 64 bits. Shuffle = one groupBy(doc_id)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_native(F.col(text_col), remove_stopwords=True)).alias("term"),
+    ).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    h = toks.withColumn("h", F.xxhash64("term"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                   F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = h.groupBy("doc_id").agg(*bit_sums)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim + F.when(F.col(f"b{i}") > 0,
+                           F.lit(1).cast("long") * F.lit(2 ** i if i < 63 else -(2 ** 63))
+                           ).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3
+                       ) -> DataFrame:
+    """→ (doc_a, doc_b, hamming ≤ max_hamming) via 4×16-bit block LSH:
+    pairs within hamming ≤ 3 of a 64-bit hash must agree on ≥1 of 4 blocks
+    (pigeonhole) — join per block, verify with bit_count(xor)."""
+    sh = simhash64(docs, text_col, id_col)
+    blocks = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("block_id"),
+                     F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+                     .alias("block_val"))
+            for i in range(4)
+        ])).alias("b"),
+    ).select("doc_id", "simhash", "b.block_id", "b.block_val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(b, ["block_id", "block_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                        ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# token n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def token_ngrams(col, n: int = 2):
+    toks = tokens_native(col, remove_stopwords=False)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 2,
+                        threshold: float = 0.5,
+                        df_cap: int = 500) -> DataFrame:
+    """→ (doc_a, doc_b, jaccard ≥ threshold) over token n-gram sets.
+
+    Inverted-style candidate generation: explode distinct n-grams, drop
+    boilerplate n-grams with df > df_cap (skew guard), self-join on the
+    n-gram, count shared grams per pair, then Jaccard from set sizes —
+    |A∩B| computed by the join, no array intersection on wide rows."""
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    if df_cap:
+        gdf = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
+        grams = grams.join(F.broadcast(gdf.where(F.col("gdf") > df_cap)),
+                           "g", "left_anti")
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(b, "g")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn("jaccard",
+                    F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"),
+                              lambda acc, v: acc + v.cast("double") * v))
+
+
+def embedding_near_dup_pairs(emb: DataFrame, vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             threshold: float = 0.95,
+                             n_planes: int = 8) -> DataFrame:
+    """→ (id_a, id_b, cosine ≥ threshold).
+
+    Bucketed candidate generation: random-hyperplane sign hash (planes are
+    deterministic hash-derived pseudo-vectors, seedable) — near-identical
+    vectors agree on all signs with high probability; verify with exact
+    cosine. Semantics model: semantic_cache.py:63-149 (10-table LSH, exact
+    cosine ≥ 0.95 verify)."""
+    d = F.size(F.col(vec_col))
+    # deterministic pseudo-random plane p_j[i] = hash(j, i) mapped to ±1
+    def plane_sign(j):
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.transform(F.sequence(F.lit(0), d - 1),
+                            lambda i: F.when(
+                                F.pmod(F.xxhash64(F.lit(j), i), F.lit(2)) == 0,
+                                F.lit(1.0)).otherwise(F.lit(-1.0))),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0).cast("double"), lambda acc, v: acc + v,
+        ) > 0
+    sig = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
+        F.concat_ws("", *[plane_sign(j).cast("int").cast("string")
+                          for j in range(n_planes)]).alias("bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"),
+            (_dot(F.col("a.v"), F.col("b.v"))
+             / (_norm(F.col("a.v")) * _norm(F.col("b.v")))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

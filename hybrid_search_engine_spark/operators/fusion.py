@@ -1,0 +1,147 @@
+"""Hybrid score fusion + IR evaluation metrics.
+
+Fusion parity (reference semantics):
+- min-max normalization with the all-equal → 1.0 edge case
+  (utils.py:57-71: when max == min, every score becomes 1.0)
+- hybrid = w_sem·sem_norm + w_lex·lex_norm, default 0.7/0.3, weights must
+  sum to 1 (core.py:225-233, 264-271)
+- max-normalization variant used by HybridBM25Pipeline (pipelines.py:315-343)
+
+Evaluation parity (evaluation.py:80-129): Precision@k, Recall@k, F1, MRR
+(reciprocal rank of the first relevant), NDCG@k with binary relevance and
+log2(i+2) discounts — here as set-based column expressions over a ranked
+results table, so the whole harness runs as one distributed plan instead of
+a per-query Python loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def minmax_normalize(df: DataFrame, score_col: str, out_col: str,
+                     partition_cols: list[str] | None = None) -> DataFrame:
+    """(x - min)/(max - min); all-equal group → 1.0 (utils.py:69-70)."""
+    w = Window.partitionBy(*(partition_cols or []))
+    mn, mx = F.min(score_col).over(w), F.max(score_col).over(w)
+    return df.withColumn(
+        out_col,
+        F.when(mx == mn, F.lit(1.0)).otherwise(
+            (F.col(score_col) - mn) / (mx - mn)),
+    )
+
+
+def max_normalize(df: DataFrame, score_col: str, out_col: str,
+                  partition_cols: list[str] | None = None) -> DataFrame:
+    """x / max (HybridBM25Pipeline variant); max == 0 → 0."""
+    w = Window.partitionBy(*(partition_cols or []))
+    mx = F.max(score_col).over(w)
+    return df.withColumn(
+        out_col, F.when(mx == 0, F.lit(0.0)).otherwise(F.col(score_col) / mx))
+
+
+def fuse_hybrid(sem: DataFrame, lex: DataFrame, w_sem: float = 0.7,
+                w_lex: float = 0.3, id_col: str = "doc_id",
+                query_col: str | None = "query_id", k: int | None = None
+                ) -> DataFrame:
+    """Full outer join of the two score tables (a doc may appear on only one
+    side — missing side contributes 0, matching the dense-vector semantics
+    of core.py where absent ≡ zero score), min-max normalize each side per
+    query, weighted sum, optional per-query top-k."""
+    if abs(w_sem + w_lex - 1.0) > 1e-9:
+        raise ValueError("weights must sum to 1.0 (core.py:232)")
+    keys = [query_col, id_col] if query_col else [id_col]
+    part = [query_col] if query_col else []
+    s = minmax_normalize(sem, "sem_score", "sem_n", part)
+    l = minmax_normalize(lex, "lex_score", "lex_n", part)
+    joined = (
+        s.select(*keys, "sem_n")
+        .join(l.select(*keys, "lex_n"), keys, "full_outer")
+        .fillna({"sem_n": 0.0, "lex_n": 0.0})
+        .withColumn("hybrid_score",
+                    F.lit(w_sem) * F.col("sem_n") + F.lit(w_lex) * F.col("lex_n"))
+    )
+    if k is not None:
+        w = Window.partitionBy(*(part or [F.lit(1)])).orderBy(
+            F.round(F.col("hybrid_score"), 9).desc(), F.col(id_col).asc())
+        joined = (joined.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))
+    return joined
+
+
+def learned_weights(query_history: DataFrame, feedback: DataFrame,
+                    min_samples: int = 10):
+    """Average weights over positively-judged queries, gated on ≥10 samples
+    (core.py:63-74: relevance_score >= 4 OR clicked)."""
+    pos = feedback.where((F.col("relevance_score") >= 4) | F.col("clicked"))
+    agg = (
+        query_history.join(pos, "query_id")
+        .agg(F.avg("semantic_weight").alias("w_sem"),
+             F.avg("lexical_weight").alias("w_lex"),
+             F.count(F.lit(1)).alias("n"))
+    )
+    return agg.where(F.col("n") >= min_samples)
+
+
+# ---------------------------------------------------------------------------
+# IR evaluation metrics (evaluation.py:80-129 formulas, distributed)
+# ---------------------------------------------------------------------------
+
+def evaluate_rankings(results: DataFrame, truth: DataFrame, k: int = 10
+                      ) -> DataFrame:
+    """results(query_id, rank, doc_id) × truth(query_id, doc_id relevant)
+    → per-query precision@k, recall@k, f1, mrr (reciprocal rank of first
+    relevant), ndcg@k (binary gains, log2(i+1) discount at 1-based rank i+1
+    — evaluation.py:113-126)."""
+    r = results.where(F.col("rank") <= k)
+    hit = r.join(truth.withColumn("rel", F.lit(1)), ["query_id", "doc_id"],
+                 "left").fillna({"rel": 0})
+    n_rel = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_relevant"))
+    per_q = (
+        hit.groupBy("query_id")
+        .agg(
+            F.sum("rel").alias("n_hits"),
+            F.count(F.lit(1)).alias("n_returned"),
+            F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel"),
+            F.sum(F.when(F.col("rel") == 1,
+                         1.0 / F.log2(F.col("rank") + 1)).otherwise(0.0)
+                  ).alias("dcg"),
+        )
+        .join(n_rel, "query_id", "left")
+        .fillna({"n_relevant": 0})
+    )
+    # ideal DCG for binary relevance: sum over first min(n_rel, k) positions
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_relevant"), F.lit(k))),
+        F.lit(0.0).cast("double"),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0),
+    )
+    prec = F.col("n_hits") / F.lit(float(k))
+    rec = F.when(F.col("n_relevant") > 0,
+                 F.col("n_hits") / F.col("n_relevant")).otherwise(F.lit(0.0))
+    return per_q.select(
+        "query_id",
+        F.round(prec, 9).alias("precision_at_k"),
+        F.round(rec, 9).alias("recall_at_k"),
+        F.round(F.when(prec + rec > 0, 2 * prec * rec / (prec + rec))
+                .otherwise(F.lit(0.0)), 9).alias("f1"),
+        F.round(F.when(F.col("first_rel").isNotNull(),
+                       1.0 / F.col("first_rel")).otherwise(F.lit(0.0)), 9
+                ).alias("mrr"),
+        F.round(F.when(F.col("n_relevant") > 0, F.col("dcg") / idcg)
+                .otherwise(F.lit(0.0)), 9).alias("ndcg_at_k"),
+    )
+
+
+def evaluation_summary(per_query: DataFrame) -> DataFrame:
+    """Means + latency-style exact percentiles (evaluation.py:211-224 uses
+    np.percentile → exact `percentile`, not approx)."""
+    return per_query.agg(
+        F.round(F.avg("precision_at_k"), 9).alias("avg_precision"),
+        F.round(F.avg("recall_at_k"), 9).alias("avg_recall"),
+        F.round(F.avg("f1"), 9).alias("avg_f1"),
+        F.round(F.avg("mrr"), 9).alias("avg_mrr"),
+        F.round(F.avg("ndcg_at_k"), 9).alias("avg_ndcg"),
+        F.count(F.lit(1)).alias("n_queries"),
+    )

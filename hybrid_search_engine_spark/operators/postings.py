@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .codec import BLOCK_SIZE_DEFAULT, encode_posting_list
+from .codec import BLOCK_SIZE_DEFAULT
 
 POSTING_SCHEMA = T.StructType([
     T.StructField("shard_id", T.IntegerType(), False),
@@ -64,29 +64,21 @@ def with_shard(df: DataFrame, n_shards: int, doc_col: str = "doc_id") -> DataFra
 
 def _encoder_stream(k1: float, b: float, avgdl: float, block_size: int):
     """mapInPandas iterator: rows sorted by (shard_id, term, doc_id) within
-    the partition; encodes each (shard, term) run into block rows, carrying
-    incomplete runs across Arrow batches."""
+    the partition; vectorized block encoding (codec.encode_runs) per Arrow
+    batch, carrying the unfinished (shard, term) run across batches."""
 
-    def encode_run(shard, term, docs, tfs, dls, idf):
-        blocks = encode_posting_list(
-            np.asarray(docs, dtype=np.int64),
-            np.asarray(tfs, dtype=np.int64),
-            np.asarray(dls, dtype=np.int64),
-            idf=float(idf), avgdl=avgdl, k1=k1, b=b, block_size=block_size,
+    from .codec import encode_runs
+
+    def encode_head(pdf: pd.DataFrame):
+        return encode_runs(
+            pdf["shard_id"].to_numpy(np.int32),
+            pdf["term"].to_numpy(object),
+            pdf["doc_id"].to_numpy(np.int64),
+            pdf["tf"].to_numpy(np.int64),
+            pdf["doc_len"].to_numpy(np.int64),
+            pdf["idf"].to_numpy(np.float64),
+            avgdl=avgdl, k1=k1, b=b, block_size=block_size,
         )
-        return pd.DataFrame({
-            "shard_id": np.int32(shard),
-            "term": term,
-            "block_id": np.array([blk["block_id"] for blk in blocks], np.int32),
-            "first_doc": np.array([blk["first_doc"] for blk in blocks], np.int64),
-            "last_doc": np.array([blk["last_doc"] for blk in blocks], np.int64),
-            "n": np.array([blk["n"] for blk in blocks], np.int32),
-            "deltas": [blk["deltas"] for blk in blocks],
-            "tfs": [blk["tfs"] for blk in blocks],
-            "dls": [blk["dls"] for blk in blocks],
-            "max_tf": np.array([blk["max_tf"] for blk in blocks], np.int32),
-            "max_score": np.array([blk["max_score"] for blk in blocks], np.float64),
-        })
 
     def fn(batches):
         carry = None  # pandas DataFrame of the unfinished (shard, term) run
@@ -96,28 +88,19 @@ def _encoder_stream(k1: float, b: float, avgdl: float, block_size: int):
                 carry = None
             if pdf.empty:
                 continue
-            # boundary of the last run — hold it back for the next batch
+            # hold back the trailing (shard, term) run — it may continue in
+            # the next Arrow batch (input is sorted, runs are contiguous)
             last_shard = pdf["shard_id"].iloc[-1]
             last_term = pdf["term"].iloc[-1]
             tail_mask = (pdf["shard_id"] == last_shard) & (pdf["term"] == last_term)
-            # tail rows are contiguous at the end (input is sorted)
             tail_start = len(pdf) - int(tail_mask.values[::-1].argmin()
                                         if not tail_mask.all() else len(pdf))
             carry = pdf.iloc[tail_start:]
             head = pdf.iloc[:tail_start]
-            if head.empty:
-                continue
-            out = []
-            for (shard, term), grp in head.groupby(["shard_id", "term"], sort=False):
-                out.append(encode_run(shard, term, grp["doc_id"].values,
-                                      grp["tf"].values, grp["doc_len"].values,
-                                      grp["idf"].iloc[0]))
-            if out:
-                yield pd.concat(out, ignore_index=True)
+            if not head.empty:
+                yield encode_head(head)
         if carry is not None and not carry.empty:
-            yield encode_run(carry["shard_id"].iloc[0], carry["term"].iloc[0],
-                             carry["doc_id"].values, carry["tf"].values,
-                             carry["doc_len"].values, carry["idf"].iloc[0])
+            yield encode_head(carry)
 
     return fn
 
@@ -140,11 +123,23 @@ def build_postings(tf: DataFrame, dstats: DataFrame, tstats: DataFrame,
     enriched = with_shard(enriched, n_shards)
     if shard_filter is not None:
         enriched = enriched.where(F.col("shard_id").isin([int(s) for s in shard_filter]))
-    p = build_partitions or n_shards
+    # Partition the ENCODE stage by (shard_id, term_bucket), not shard_id
+    # alone: hashing only n_shards distinct keys into n_shards partitions is
+    # balls-in-bins (empty partitions + 3-4× stragglers). The sub-bucket on
+    # term keeps every (shard, term) run intact within one partition while
+    # spreading each shard's vocabulary across `sub` partitions — encode
+    # parallelism is then n_shards × sub regardless of key collisions, and
+    # the Zipf-head term of a shard still lands in a bounded cell.
+    p = build_partitions or 2 * n_shards
+    sub = max(1, (p + n_shards - 1) // n_shards)
+    enriched = enriched.withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(sub)).cast("int"))
     sorted_runs = (
-        enriched.select("shard_id", "term", "doc_id", "tf", "doc_len", "idf")
-        .repartition(p, "shard_id")
+        enriched.select("shard_id", "term_bucket", "term", "doc_id", "tf",
+                        "doc_len", "idf")
+        .repartition(n_shards * sub, "shard_id", "term_bucket")
         .sortWithinPartitions("shard_id", "term", "doc_id")
+        .drop("term_bucket")
     )
     return sorted_runs.mapInPandas(
         _encoder_stream(k1, b, avgdl, block_size), schema=POSTING_SCHEMA

@@ -1,0 +1,136 @@
+"""Chunking, highlighting, autocomplete — reference outer surface as
+native Spark expressions (SURVEY.md §2 F4-F6, SO5, A9/T7).
+
+- chunkers (chunker.py semantics): sentence split on `(?<=[.!?])\\s+`
+  (chunker.py:40,235), paragraph split on `\\n\\s*\\n` (chunker.py:89),
+  fixed-size token windows with overlap
+- highlighter (highlighter.py:60-65): case-insensitive word-boundary
+  `<mark>` wrapping of query terms
+- autocomplete (autocomplete.py:46-66,139-165): frequency-aggregated prefix
+  suggestions — a trie is a serve-side structure; at rest this is
+  groupBy + LIKE 'prefix%' + top-n
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_native
+
+
+# ---------------------------------------------------------------------------
+# chunkers
+# ---------------------------------------------------------------------------
+
+def split_sentences(text_col) -> Column:
+    """Java regex supports the lookbehind the reference uses."""
+    c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col,
+                   F.lit(""))
+    return F.filter(F.split(c, r"(?<=[.!?])\s+"), lambda x: F.trim(x) != "")
+
+
+def split_paragraphs(text_col) -> Column:
+    c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col,
+                   F.lit(""))
+    return F.filter(F.split(c, r"\n\s*\n"), lambda x: F.trim(x) != "")
+
+
+def chunk_documents(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", mode: str = "sentence",
+                    chunk_tokens: int = 64, overlap: int = 16) -> DataFrame:
+    """→ (doc_id, chunk_id, chunk_text). mode ∈ sentence|paragraph|fixed.
+
+    fixed mode: sliding token windows of `chunk_tokens` with `overlap`
+    (chunker.py fixed chunker semantics) via sequence+explode — no UDF."""
+    if mode in ("sentence", "paragraph"):
+        parts = (split_sentences(text_col) if mode == "sentence"
+                 else split_paragraphs(text_col))
+        ex = docs.select(F.col(id_col).alias("doc_id"),
+                         F.posexplode(parts).alias("chunk_id", "chunk_text"))
+        return ex
+    if mode != "fixed":
+        raise ValueError(mode)
+    step = max(1, chunk_tokens - overlap)
+    toks = tokens_native(text_col)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+        F.lit(step),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"),
+                    F.posexplode(starts).alias("chunk_id", "start"))
+        .where(F.col("start") < F.size("toks"))
+        .select(
+            "doc_id", "chunk_id",
+            F.concat_ws(" ", F.slice("toks", F.col("start") + 1,
+                                     F.lit(chunk_tokens))).alias("chunk_text"),
+        )
+    )
+
+
+def best_chunk_per_doc(chunk_scores: DataFrame, id_col: str = "doc_id",
+                       score_col: str = "score") -> DataFrame:
+    """Parent-doc dedup keeping the best chunk (pipelines.py:166-183, W2)."""
+    w = Window.partitionBy(id_col).orderBy(
+        F.col(score_col).desc(), F.col("chunk_id").asc())
+    return (chunk_scores.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).drop("rn"))
+
+
+# ---------------------------------------------------------------------------
+# highlighter
+# ---------------------------------------------------------------------------
+
+def highlight(text_col, query_terms: list[str], tag: str = "mark") -> Column:
+    """`(?i)\\b(t1|t2)\\b` → <mark>$1</mark> (highlighter.py:60-65)."""
+    c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col,
+                   F.lit(""))
+    if not query_terms:
+        return c
+    pat = "(?i)\\b(" + "|".join(re.escape(t) for t in query_terms) + ")\\b"
+    return F.regexp_replace(c, pat, f"<{tag}>$1</{tag}>")
+
+
+def snippet(text_col, query_terms: list[str], radius_chars: int = 80
+            ) -> Column:
+    """First-match window snippet: locate the earliest query term
+    (case-insensitive), slice ±radius (highlighter snippet semantics,
+    SO5 overlap suppression approximated by the single-window form)."""
+    c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col,
+                   F.lit(""))
+    if not query_terms:
+        return F.substring(c, 1, 2 * radius_chars)
+    pat = "(?i)\\b(" + "|".join(re.escape(t) for t in query_terms) + ")\\b"
+    pos = F.coalesce(F.nullif(F.regexp_instr(c, F.lit(pat)), F.lit(0)), F.lit(1))
+    start = F.greatest(pos - radius_chars, F.lit(1))
+    return F.substring(c, start.cast("int"), 2 * radius_chars)
+
+
+# ---------------------------------------------------------------------------
+# autocomplete
+# ---------------------------------------------------------------------------
+
+def record_queries(query_log: DataFrame) -> DataFrame:
+    """query_log(query_text, ...) → (query_text, frequency) aggregate
+    (autocomplete.py:139-151: _all_queries[q] += freq)."""
+    return (
+        query_log.select(F.lower(F.trim("query_text")).alias("query_text"))
+        .where(F.col("query_text") != "")
+        .groupBy("query_text")
+        .agg(F.count(F.lit(1)).alias("frequency"))
+    )
+
+
+def suggest(suggestions: DataFrame, prefix: str, n: int = 5) -> DataFrame:
+    """Prefix search + top-n by frequency then lexicographic — the at-rest
+    form of the trie walk (autocomplete.py:95-96,158-165)."""
+    p = prefix.lower().strip()
+    return (
+        suggestions.where(F.col("query_text").startswith(p))
+        .orderBy(F.col("frequency").desc(), F.col("query_text").asc())
+        .limit(n)
+    )

@@ -1,0 +1,199 @@
+"""Structured Streaming surface: incremental ingest + windowed monitoring.
+
+Maps the reference's two quasi-streaming components (SURVEY.md §2.9):
+
+- ST1 file watcher → re-index (watcher.py:18-186, 2 s debounce): here a
+  file-source `readStream` over the pages directory, `foreachBatch` running
+  the SAME batch incremental index build per micro-batch (the batch/stream
+  unification Spark gives for free); debounce → trigger(processingTime) or
+  availableNow for drain-and-stop runs.
+- ST2 async job queue with retries/progress (jobs.py:111-392): Spark task
+  retries + checkpointLocation replace the hand-rolled queue; progress =
+  StreamingQueryListener/lastProgress; the per-shard manifest (build/
+  manifest.py) carries lineage exactly as in batch.
+
+Incremental semantics (ST3): each micro-batch appends new docs' postings as
+a new SEGMENT directory (segment = the micro-batch id). Readers union all
+segments; `compact_segments` merges them back into the canonical sharded
+layout (the repartition+sortWithinPartitions merge job the reference never
+needed because it always rebuilt from scratch — indexer.py:245-285).
+
+CAVEAT (correctness at query time): BM25 global stats (df, idf, avgdl)
+computed per segment are LOCAL. Scoring across segments uses the merged
+stats tables produced by `compact_segments` — queries between compactions
+see slightly stale idf for fresh docs, the standard trade in incremental
+text indexing; rank-parity tests always run post-compaction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.pages import pages_to_docs
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, text string, "
+                "lang string")
+
+
+def as_stream_dir(path: str) -> str:
+    """Spark's file stream source requires a directory; stage a single
+    parquet file into a cached temp dir (keyed by path) when needed."""
+    if os.path.isdir(path):
+        return path
+    import hashlib
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(path.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"hse_streamsrc_{tag}")
+    dst = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(dst):
+        os.makedirs(d, exist_ok=True)
+        shutil.copy2(path, dst)
+    return d
+
+
+def stream_pages(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream of pages parquet drops (the watcher equivalent)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)  # debounce-ish batch coalescing
+        .parquet(src_dir)
+    )
+
+
+def incremental_index_query(spark: SparkSession, src_dir: str,
+                            index_root: str, checkpoint_dir: str,
+                            n_shards: int = 8, available_now: bool = True):
+    """writeStream.foreachBatch: each micro-batch builds a posting SEGMENT
+    under index_root/segments/<batch_id>/ with its own manifest. Resumable:
+    checkpointLocation replays unfinished batches; the per-segment build is
+    idempotent (deterministic doc ids + dynamic partition overwrite)."""
+    from ..build.manifest import build_index
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        docs = pages_to_docs(batch_df)
+        if not docs.head(1):
+            return
+        seg_dir = os.path.join(index_root, "segments", f"{batch_id:06d}")
+        build_index(spark, docs, seg_dir, n_shards=n_shards)
+
+    w = (
+        stream_pages(spark, src_dir).writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime="2 seconds")  # watcher debounce parity
+    return w.start()
+
+
+def list_segments(index_root: str) -> list[str]:
+    seg_root = os.path.join(index_root, "segments")
+    if not os.path.isdir(seg_root):
+        return []
+    return sorted(
+        os.path.join(seg_root, d) for d in os.listdir(seg_root)
+        if os.path.isdir(os.path.join(seg_root, d))
+    )
+
+
+def compact_segments(spark: SparkSession, index_root: str, out_dir: str,
+                     n_shards: int = 8, k1: float = 1.5, b: float = 0.75,
+                     block_size: int = 128):
+    """Multi-segment merge (ST3): decode-free at the tf level is impossible
+    across segments (df/idf are global), so the merge recomputes global
+    stats from the segments' doc-level tf — implemented as: union segment
+    doc_stats + re-derive postings via the standard build over the union of
+    per-segment (doc_id, term, tf) obtained by DECODING posting blocks in
+    parallel (mapInPandas), then repartition+sortWithinPartitions+encode.
+    Cost is one shuffle of tf-grain data — the same as a fresh build minus
+    extraction and tokenization (the expensive parts at web scale)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .. import ensure_udf_serializable
+    from ..operators.codec import decode_block
+    from ..operators.postings import build_postings
+    from ..operators.stats import term_stats
+
+    ensure_udf_serializable()
+    segs = list_segments(index_root)
+    if not segs:
+        raise ValueError(f"no segments under {index_root}")
+
+    posting_paths = [os.path.join(s, "postings") for s in segs]
+    blocks = spark.read.parquet(*posting_paths)
+
+    tf_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("tf", T.LongType(), False),
+        T.StructField("doc_len", T.LongType(), False),
+    ])
+
+    def decode_fn(batches):
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                d, tfv, dl = decode_block(r.first_doc, r.n, r.deltas, r.tfs,
+                                          r.dls)
+                outs.append(pd.DataFrame({
+                    "doc_id": d, "term": r.term, "tf": tfv, "doc_len": dl}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    tf_full = blocks.mapInPandas(decode_fn, schema=tf_schema)
+    # exact dedup across segments is unnecessary: a doc lives in exactly one
+    # segment (deterministic ids, append-only batches); doc_len rides along
+    tf = tf_full.select("doc_id", "term", "tf")
+    dstats = tf_full.select("doc_id", "doc_len").groupBy("doc_id").agg(
+        F.max("doc_len").alias("doc_len"))
+
+    # global scalars from the segment corpus.json files (doc counts include
+    # token-empty docs, which postings can't see)
+    n_docs, total_len = 0, 0.0
+    for s in segs:
+        with open(os.path.join(s, "stats", "corpus.json")) as f:
+            c = json.load(f)
+        n_docs += c["doc_count"]
+        total_len += c["avg_doc_len"] * c["doc_count"]
+    avgdl = total_len / n_docs if n_docs else 0.0
+
+    tstats = term_stats(tf, n_docs)
+    postings = build_postings(tf, dstats, tstats, avgdl, n_shards=n_shards,
+                              k1=k1, b=b, block_size=block_size)
+    from ..operators.postings import write_postings
+
+    write_postings(postings, os.path.join(out_dir, "postings"))
+    tstats.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "stats", "term_stats"))
+    dstats.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "stats", "doc_stats"))
+    os.makedirs(os.path.join(out_dir, "stats"), exist_ok=True)
+    with open(os.path.join(out_dir, "stats", "corpus.json"), "w") as f:
+        json.dump({"doc_count": n_docs, "avg_doc_len": avgdl, "k1": k1,
+                   "b": b, "n_shards": n_shards, "block_size": block_size,
+                   "source_fingerprint": {"segments": len(segs)}}, f)
+    return out_dir
+
+
+def windowed_event_counts(events_stream: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation (the streaming-analytics
+    surface; batch analogue = contract.q_event_windows)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+    )

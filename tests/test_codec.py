@@ -22,6 +22,21 @@ def test_varint_roundtrip(vals):
     assert list(varint_decode(varint_encode(a))) == vals
 
 
+@given(st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
+                min_size=1, max_size=200, unique=True))
+@settings(max_examples=100, deadline=None)
+def test_posting_roundtrip_full_range_ids(ids):
+    """xxhash64 doc ids span the whole signed 64-bit range; gap arithmetic
+    must not overflow (regression: int64 gap wrap)."""
+    docs = np.array(sorted(ids), dtype=np.int64)
+    tfs = np.ones(docs.size, dtype=np.int64)
+    dls = np.full(docs.size, 7, dtype=np.int64)
+    blocks = encode_posting_list(docs, tfs, dls, 1.0, 10.0, 1.5, 0.75,
+                                 block_size=8)
+    got_docs, got_tfs, _ = decode_posting_blocks(blocks)
+    assert np.array_equal(got_docs, docs)
+
+
 def test_varint_empty():
     assert varint_encode(np.empty(0, np.uint64)) == b""
     assert varint_decode(b"").size == 0
@@ -81,6 +96,54 @@ def test_skip_pointer_navigation():
         expected = docs[np.searchsorted(docs, target)]
         if expected <= blocks[bi]["last_doc"]:
             assert expected in d
+
+
+@given(st.integers(min_value=1, max_value=6), st.integers(min_value=1, max_value=40),
+       st.integers(min_value=2, max_value=33))
+@settings(max_examples=50, deadline=None)
+def test_encode_runs_equals_per_run_encoder(n_runs, max_docs, block_size):
+    """Vectorized multi-run encoder == the single-list reference encoder."""
+    from hybrid_search_engine_spark.operators.codec import encode_runs
+
+    rng = np.random.RandomState(n_runs * 1000 + max_docs)
+    shards, terms, docs, tfs, dls, idfs = [], [], [], [], [], []
+    runs = []
+    for r in range(n_runs):
+        nd = rng.randint(1, max_docs + 1)
+        d = np.sort(rng.choice(10**6, size=nd, replace=False)).astype(np.int64)
+        t = rng.randint(1, 30, nd).astype(np.int64)
+        l = rng.randint(1, 400, nd).astype(np.int64)
+        idf = float(rng.uniform(0.1, 8.0))
+        key = (r // 3, f"term{r}")
+        runs.append((key, d, t, l, idf))
+        shards += [key[0]] * nd
+        terms += [key[1]] * nd
+        docs.append(d); tfs.append(t); dls.append(l)
+        idfs += [idf] * nd
+    pdf = encode_runs(
+        np.array(shards, np.int32), np.array(terms, object),
+        np.concatenate(docs), np.concatenate(tfs), np.concatenate(dls),
+        np.array(idfs, np.float64), avgdl=150.0, k1=1.5, b=0.75,
+        block_size=block_size,
+    )
+    got = {
+        (r["shard_id"], r["term"], r["block_id"]): r
+        for _, r in pdf.iterrows()
+    }
+    n_expected = 0
+    for (shard, term), d, t, l, idf in runs:
+        blocks = encode_posting_list(d, t, l, idf=idf, avgdl=150.0, k1=1.5,
+                                     b=0.75, block_size=block_size)
+        n_expected += len(blocks)
+        for blk in blocks:
+            g = got[(shard, term, blk["block_id"])]
+            for f in ("first_doc", "last_doc", "n", "max_tf"):
+                assert g[f] == blk[f], (shard, term, blk["block_id"], f)
+            assert bytes(g["deltas"]) == blk["deltas"]
+            assert bytes(g["tfs"]) == blk["tfs"]
+            assert bytes(g["dls"]) == blk["dls"]
+            assert abs(g["max_score"] - blk["max_score"]) < 1e-12
+    assert len(got) == n_expected
 
 
 def test_rejects_unsorted():

@@ -1,0 +1,302 @@
+"""Unit tests: similarity, analysis, multimodal, fusion, metadata filter,
+chunking/highlight/autocomplete."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(1)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    df.count()
+    return df, rows
+
+
+def _np_topk(rows, q, k):
+    qv = np.array(q)
+    qv = qv / np.linalg.norm(qv)
+    scored = []
+    for vid, v in rows:
+        v = np.array(v, dtype=np.float64)
+        scored.append((vid, float(np.dot(v, qv) / np.linalg.norm(v))))
+    scored.sort(key=lambda p: (-round(p[1], 9), p[0]))
+    return scored[:k]
+
+
+def test_knn_brute_matches_numpy(spark, emb):
+    from hybrid_search_engine_spark.operators.similarity import knn_brute
+
+    df, rows = emb
+    q = rows[5][1]
+    got = knn_brute(df, q, k=7).collect()
+    want = _np_topk(rows, q, 7)
+    assert [r["vec_id"] for r in got] == [v for v, _ in want]
+    for r, (_, c) in zip(got, want):
+        assert abs(r["cosine"] - c) < 1e-6
+
+
+def test_knn_batch_matches_brute(spark, emb):
+    from hybrid_search_engine_spark.operators.similarity import knn_batch_pandas
+
+    df, rows = emb
+    queries = {0: rows[3][1], 1: rows[11][1]}
+    got = knn_batch_pandas(spark, df, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qid, q in queries.items():
+        want = _np_topk(rows, q, 5)
+        assert [v for _, v in sorted(by_q[qid])] == [v for v, _ in want], qid
+
+
+def test_ann_lsh_recall(spark, emb):
+    from hybrid_search_engine_spark.operators.similarity import (
+        ann_search,
+        build_ann_index,
+        knn_brute,
+    )
+
+    df, rows = emb
+    idx = build_ann_index(df, n_planes=6).cache()
+    idx.count()
+    hits = 0
+    for probe in (5, 20, 40):
+        q = rows[probe][1]
+        exact = {r["vec_id"] for r in knn_brute(df, q, k=5).collect()}
+        approx = {r["vec_id"] for r in
+                  ann_search(spark, idx, q, k=5, n_planes=6).collect()}
+        hits += len(exact & approx)
+    assert hits >= 6  # ≥40% recall@5 over 3 probes with 6 planes + multiprobe
+
+
+# ---------------------------------------------------------------------------
+# analysis
+# ---------------------------------------------------------------------------
+
+def test_detect_language(spark):
+    from hybrid_search_engine_spark.functions.analysis import detect_language
+
+    df = spark.createDataFrame([
+        (1, "the cat is on the mat and it is happy with this"),
+        (2, "der hund ist nicht mit der katze und das ist gut"),
+        (3, "le chat est sur la table et il est content avec le chien"),
+        (4, "el perro es grande y la casa es blanca con el gato"),
+        (5, "zqx wvu kjh"),
+    ], "id int, text string")
+    got = {r["id"]: r["lang"] for r in
+           df.select("id", detect_language("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_quality_columns(spark):
+    from hybrid_search_engine_spark.functions.analysis import quality_columns
+
+    df = spark.createDataFrame([
+        ("good", "The quick brown fox jumps over the lazy dog near the river bank today."),
+        ("junk", "!!! ??? ### $$$ %%%"),
+        ("empty", ""),
+    ], "id string, text string")
+    rows = {r["id"]: r for r in df.select("id", *quality_columns("text")).collect()}
+    assert rows["good"]["is_quality"]
+    assert not rows["junk"]["is_quality"]
+    assert not rows["empty"]["is_quality"]
+    assert rows["good"]["n_tokens"] == 14
+
+
+def test_token_counts_and_fingerprint(spark):
+    from hybrid_search_engine_spark.functions.analysis import (
+        content_fingerprint,
+        token_count_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "gamma alpha beta"),
+         (3, "delta")], "id int, text string")
+    rows = df.select("id", *token_count_columns("text"),
+                     content_fingerprint("text").alias("fp")).collect()
+    by = {r["id"]: r for r in rows}
+    assert by[1]["ws_word_count"] == 4
+    assert by[1]["regex_token_count"] == 4
+    # bag-normalized: same vocabulary → same fingerprint
+    assert by[1]["fp"] == by[2]["fp"]
+    assert by[1]["fp"] != by[3]["fp"]
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_multimodal_features_and_pruning(spark, tmp_path):
+    from hybrid_search_engine_spark.operators.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        media_stats,
+    )
+
+    rows = [
+        (1, "image", b"payload-one", ("image/png", 64, 64, None, None)),
+        (2, "image", b"payload-two", ("image/png", 32, 32, None, None)),
+        (3, "image", None, ("image/png", 8, 8, None, None)),
+        (4, "video", b"vid", ("video/mp4", 640, 480, 3500, None)),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int,"
+        "sample_rate:int>")
+
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["decode_ok"] and len(feats[1]["feature"]) == 64
+    assert not feats[3]["decode_ok"] and feats[3]["feature"] is None
+    # determinism: same payload → same feature
+    again = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["feature"] == again[1]["feature"]
+
+    plan = frame_sample_plan(media, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in plan] == [0, 1000, 2000, 3000]
+
+    # metadata-only agg must not read the payload column — verify column
+    # pruning against a real parquet scan (ReadSchema excludes payload)
+    p = str(tmp_path / "media.parquet")
+    media.write.mode("overwrite").parquet(p)
+    stats_df = media_stats(spark.read.parquet(p))
+    assert stats_df.count() == 2
+    explain = stats_df._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    read_schema = _re.search(r"ReadSchema: ([^\n]*)", explain)
+    assert read_schema and "payload" not in read_schema.group(1), read_schema
+
+
+def test_decode_stub_raises_without_fake():
+    from hybrid_search_engine_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"x", deterministic_fake=False)
+
+
+# ---------------------------------------------------------------------------
+# fusion
+# ---------------------------------------------------------------------------
+
+def test_minmax_all_equal_edge(spark):
+    from hybrid_search_engine_spark.operators.fusion import minmax_normalize
+
+    df = spark.createDataFrame([(1, 5.0), (2, 5.0)], "id int, s double")
+    got = minmax_normalize(df, "s", "n").collect()
+    assert all(r["n"] == 1.0 for r in got)  # utils.py:69-70 edge
+
+
+def test_fuse_hybrid_weights_and_missing_sides(spark):
+    from hybrid_search_engine_spark.operators.fusion import fuse_hybrid
+
+    sem = spark.createDataFrame([(0, 1, 0.9), (0, 2, 0.1)],
+                                "query_id int, doc_id int, sem_score double")
+    lex = spark.createDataFrame([(0, 2, 3.0), (0, 3, 1.0)],
+                                "query_id int, doc_id int, lex_score double")
+    got = {r["doc_id"]: r["hybrid_score"]
+           for r in fuse_hybrid(sem, lex).collect()}
+    assert got[1] == pytest.approx(0.7)        # sem max, no lex
+    assert got[2] == pytest.approx(0.3)        # sem min(0) + lex max
+    assert got[3] == pytest.approx(0.0)        # lex min, no sem
+    with pytest.raises(ValueError):
+        fuse_hybrid(sem, lex, 0.5, 0.6)
+
+
+def test_evaluate_rankings(spark):
+    from hybrid_search_engine_spark.operators.fusion import evaluate_rankings
+
+    results = spark.createDataFrame(
+        [(0, r, d) for r, d in [(1, 10), (2, 20), (3, 30)]],
+        "query_id int, rank int, doc_id int")
+    truth = spark.createDataFrame([(0, 20), (0, 99)], "query_id int, doc_id int")
+    m = evaluate_rankings(results, truth, k=3).first()
+    assert m["precision_at_k"] == pytest.approx(1 / 3)
+    assert m["recall_at_k"] == pytest.approx(1 / 2)
+    assert m["mrr"] == pytest.approx(1 / 2)
+    # dcg = 1/log2(3); idcg = 1/log2(2) + 1/log2(3)
+    want_ndcg = (1 / np.log2(3)) / (1 + 1 / np.log2(3))
+    assert m["ndcg_at_k"] == pytest.approx(want_ndcg)
+
+
+# ---------------------------------------------------------------------------
+# metadata filter
+# ---------------------------------------------------------------------------
+
+def test_metadata_filter_compiler(spark):
+    from hybrid_search_engine_spark.operators.metadata_filter import apply_filter
+
+    df = spark.createDataFrame([
+        (1, "click", '{"k": 10, "tag": "a"}'),
+        (2, "click", '{"k": 60, "tag": "b"}'),
+        (3, "view", '{"k": 70}'),
+        (4, "click", '{}'),
+    ], "id int, event_type string, metadata string")
+
+    def ids(expr):
+        return sorted(r["id"] for r in apply_filter(df, expr).collect())
+
+    assert ids("k:>50") == [2, 3]
+    assert ids("k:>50 AND event_type:click") == [2]
+    assert ids("k:>50 OR tag:a") == [1, 2, 3]
+    assert ids("NOT event_type:click") == [3]
+    assert ids("tag:[a,b]") == [1, 2]
+    assert ids("tag:*") == [1, 2]
+    assert ids("(k:<20 OR k:>65) AND event_type:[click,view]") == [1, 3]
+    with pytest.raises(ValueError):
+        apply_filter(df, "((k:1)")
+
+
+# ---------------------------------------------------------------------------
+# chunking / highlight / autocomplete
+# ---------------------------------------------------------------------------
+
+def test_chunkers(spark):
+    from hybrid_search_engine_spark.operators.textproc import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "One two. Three four! Five?\n\nNew para here.")],
+        "doc_id int, text string")
+    sents = [r["chunk_text"] for r in
+             chunk_documents(df, mode="sentence").orderBy("chunk_id").collect()]
+    assert sents == ["One two.", "Three four!", "Five?", "New para here."]
+    paras = [r["chunk_text"] for r in
+             chunk_documents(df, mode="paragraph").orderBy("chunk_id").collect()]
+    assert len(paras) == 2
+    fixed = chunk_documents(df, mode="fixed", chunk_tokens=4, overlap=1
+                            ).orderBy("chunk_id").collect()
+    assert fixed[0]["chunk_text"] == "one two three four"
+    assert fixed[1]["chunk_text"].startswith("four")  # overlap of 1
+
+
+def test_highlight_and_snippet(spark):
+    from hybrid_search_engine_spark.operators.textproc import highlight, snippet
+
+    df = spark.createDataFrame([(1, "The Quick fox is quick indeed.")],
+                               "id int, text string")
+    got = df.select(highlight("text", ["quick", "fox"]).alias("h")).first()["h"]
+    assert got == "The <mark>Quick</mark> <mark>fox</mark> is <mark>quick</mark> indeed."
+    sn = df.select(snippet("text", ["indeed"], radius_chars=8).alias("s")).first()["s"]
+    assert "indeed" in sn
+
+
+def test_autocomplete(spark):
+    from hybrid_search_engine_spark.operators.textproc import (
+        record_queries,
+        suggest,
+    )
+
+    log = spark.createDataFrame(
+        [("machine learning",), ("machine learning",), ("machine vision",),
+         ("python",), ("Machine Learning",)], "query_text string")
+    sugg = record_queries(log)
+    got = suggest(sugg, "machine", n=2).collect()
+    assert [(r["query_text"], r["frequency"]) for r in got] == [
+        ("machine learning", 3), ("machine vision", 1)]

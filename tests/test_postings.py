@@ -106,6 +106,39 @@ def test_pruned_equals_exact_mode(spark, index):
                [(r.doc_id, round(r.score, 9)) for r in b], q
 
 
+def test_batch_search_matches_oracle(spark, index, oracle):
+    """search_index_batch (one plan, shared decode caches) rank-identical to
+    the oracle for every query in the batch."""
+    from hybrid_search_engine_spark.operators.wand import search_index_batch
+
+    stored, tstats, scalars = index
+    queries = list(enumerate(all_queries()[:30]))
+    got = search_index_batch(spark, stored, tstats, scalars.avg_doc_len,
+                             queries, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, query in queries:
+        want = oracle.topk_nonzero(query, k=10)
+        rows = sorted(by_q.get(qid, []))
+        assert [d for _, d, _ in rows] == [d for d, _ in want], query
+        for (_, _, s_got), (_, s_want) in zip(rows, want):
+            assert abs(s_got - s_want) <= 1e-6 * max(1.0, abs(s_want)), query
+
+
+def test_search_with_dict_tstats(spark, index, oracle):
+    """Driver-cached term→idf dict path == DataFrame stats path."""
+    from hybrid_search_engine_spark.operators.wand import search_index
+
+    stored, tstats, scalars = index
+    tdict = {r["term"]: float(r["idf"])
+             for r in tstats.select("term", "idf").collect()}
+    q = "machine learning and AI"
+    a = search_index(spark, stored, tdict, scalars.avg_doc_len, q, k=10).collect()
+    want = oracle.topk_nonzero(q, k=10)
+    assert [r["doc_id"] for r in a] == [d for d, _ in want]
+
+
 def test_k_variants(spark, index, oracle):
     for k in (1, 5, 100):
         _assert_parity(spark, index, oracle, "machine learning and AI", k=k)

@@ -1,0 +1,103 @@
+"""Structured Streaming: incremental segment ingest, compaction parity,
+windowed aggregation."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle.bm25_oracle import BM25Oracle
+
+
+def test_incremental_ingest_and_compaction(spark, tmp_path_factory):
+    """Drop pages files in two batches → stream builds two segments →
+    compaction produces an index rank-identical to a one-shot oracle fit
+    on the union."""
+    from fixtures.gen_corpus import generate_pages
+    from hybrid_search_engine_spark.build.manifest import IndexReader
+    from hybrid_search_engine_spark.streaming.ingest import (
+        compact_segments,
+        incremental_index_query,
+        list_segments,
+    )
+
+    base = tmp_path_factory.mktemp("stream")
+    src = base / "incoming"
+    src.mkdir()
+    rows = list(generate_pages(400))
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write_batch(path, batch_rows):
+        pq.write_table(pa.table({
+            "url": pa.array([r["url"] for r in batch_rows], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in batch_rows],
+                                pa.timestamp("us", tz="UTC")),
+            "html": pa.array([r["html"] for r in batch_rows], pa.binary()),
+            "text": pa.array([r["text"] for r in batch_rows], pa.string()),
+            "lang": pa.array([r["lang"] for r in batch_rows], pa.string()),
+        }), path)
+
+    write_batch(str(src / "b0.parquet"), rows[:200])
+    write_batch(str(src / "b1.parquet"), rows[200:])
+
+    index_root = str(base / "idx")
+    q = incremental_index_query(
+        spark, str(src), index_root, str(base / "ckpt"), n_shards=4,
+        available_now=True)
+    q.awaitTermination()
+    segs = list_segments(index_root)
+    assert len(segs) >= 1  # maxFilesPerTrigger may batch both files together
+
+    out = str(base / "compacted")
+    compact_segments(spark, index_root, out, n_shards=4)
+
+    # oracle over the full union, via the same extraction
+    from hybrid_search_engine_spark.reference_semantics import extract_text
+
+    url_text = {r["url"]: extract_text(r["html"], r["text"]) for r in rows}
+    # doc ids are xxhash64(url) — recover the mapping from Spark
+    iddf = spark.createDataFrame([(u,) for u in url_text], "url string")
+    idmap = {r["url"]: r["doc_id"] for r in
+             iddf.select("url", F.xxhash64("url").alias("doc_id")).collect()}
+    oracle = BM25Oracle().fit({idmap[u]: t for u, t in url_text.items()})
+
+    reader = IndexReader(spark, out)
+    for query in ["machine learning and AI", "the quick brown fox"]:
+        got = reader.search(query, k=10).collect()
+        want = oracle.topk_nonzero(query, k=10)
+        assert [r["doc_id"] for r in got] == [d for d, _ in want], query
+        for r, (_, s) in zip(got, want):
+            assert abs(r["score"] - s) <= 1e-6 * max(1.0, abs(s))
+
+
+def test_windowed_event_counts_stream_matches_batch(spark, tmp_path_factory):
+    from hybrid_search_engine_spark.streaming.ingest import (
+        as_stream_dir,
+        windowed_event_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    stream = spark.readStream.schema(schema).parquet(
+        as_stream_dir(os.path.join(sf, "events.parquet")))
+    agg = windowed_event_counts(stream, window="1 hour")
+    name = "test_stream_win"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(str(r["window_start"]), r["event_type"]): (r["n_events"],
+                                                       round(r["sum_value"], 6))
+           for r in spark.table(name).collect()}
+
+    batch = (
+        spark.read.parquet(os.path.join(sf, "events.parquet"))
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    want = {(str(r["window_start"]), r["event_type"]): (r["n"], round(r["s"], 6))
+            for r in batch}
+    assert got == want
