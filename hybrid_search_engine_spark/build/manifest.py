@@ -124,7 +124,7 @@ def build_index(
     t0 = time.time()
     docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
-    fp = source_fingerprint(docs)
+    fp = source_fingerprint(docs)  # one agg: count + id hash (fused)
     _log("fingerprint done")
     done = done_shards(index_dir, fp)
     todo = [s for s in range(n_shards) if s not in done]
@@ -133,7 +133,8 @@ def build_index(
         todo = todo[:fail_after_shards]
         simulate_crash = True
 
-    tf, dstats, tstats, scalars = build_statistics(docs)
+    tf, dstats, tstats, scalars = build_statistics(docs,
+                                                   doc_count=fp["n_docs"])
     _log("statistics built")
 
     posting_path = os.path.join(index_dir, "postings")

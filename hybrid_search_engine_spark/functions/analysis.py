@@ -131,6 +131,30 @@ def content_fingerprint(text_col) -> Column:
     return F.md5(F.concat_ws(" ", toks))
 
 
+SCRIPT_RANGES = {
+    "latin": r"[A-Za-zÀ-ɏ]",
+    "cyrillic": r"[Ѐ-ӿ]",
+    "cjk": r"[一-鿿぀-ヿ]",
+    "arabic": r"[؀-ۿ]",
+    "devanagari": r"[ऀ-ॿ]",
+}
+
+
+def detect_script(text_col) -> Column:
+    """Unicode-range script detection (reference semantics model:
+    language.py:140-168) — regexp_count per range, argmax, native exprs."""
+    c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col,
+                   F.lit(""))
+    counts = [(name, F.regexp_count(c, F.lit(pat)))
+              for name, pat in SCRIPT_RANGES.items()]
+    best, best_n = F.lit("unknown"), F.lit(0)
+    for name, n in counts:
+        cond = n > best_n
+        best = F.when(cond, F.lit(name)).otherwise(best)
+        best_n = F.when(cond, n).otherwise(best_n)
+    return best
+
+
 def rolling_prefix_hash(text_col, prefix_chars: int = 256) -> Column:
     """Prefix fingerprint (cheap clustering key for boilerplate headers)."""
     c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col,

@@ -53,6 +53,34 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
     )
 
 
+def apply_dedup_action(docs: DataFrame, pairs: DataFrame,
+                       action: str = "flag", id_col: str = "doc_id"
+                       ) -> DataFrame:
+    """P7 policy (reference: DeduplicationEngine.check_and_handle,
+    deduplication.py:196-241 — actions SKIP/MERGE/FLAG):
+
+    - "skip":  drop near-duplicate docs (keep the canonical = smallest id
+               in each connected pair set, one-hop approximation)
+    - "merge"/"flag": keep all rows, add is_duplicate + canonical_doc_id
+
+    `pairs` is any (doc_a, doc_b) near-dup table (minhash_lsh_pairs,
+    simhash_near_pairs, ngram_jaccard_pairs).
+    """
+    canon = (
+        pairs.select(F.col("doc_b").alias(id_col),
+                     F.col("doc_a").alias("cand"))
+        .groupBy(id_col).agg(F.min("cand").alias("canonical_doc_id"))
+    )
+    if action == "skip":
+        return docs.join(canon.select(id_col), id_col, "left_anti")
+    out = docs.join(canon, id_col, "left")
+    return out.withColumn(
+        "is_duplicate", F.col("canonical_doc_id").isNotNull()
+    ).withColumn(
+        "canonical_doc_id", F.coalesce("canonical_doc_id", F.col(id_col))
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

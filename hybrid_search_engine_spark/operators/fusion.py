@@ -84,6 +84,36 @@ def learned_weights(query_history: DataFrame, feedback: DataFrame,
     return agg.where(F.col("n") >= min_samples)
 
 
+def test_set_from_feedback(query_history: DataFrame, feedback: DataFrame,
+                           min_relevant: int = 1) -> DataFrame:
+    """A8: bootstrap an evaluation test set from feedback
+    (evaluation.py:269-297: relevance_score >= 3 OR clicked, ARRAY_AGG of
+    doc ids per query_text, HAVING count >= min)."""
+    rel = feedback.where((F.col("relevance_score") >= 3) | F.col("clicked"))
+    return (
+        query_history.join(rel, "query_id")
+        .groupBy("query_text")
+        .agg(F.collect_list("doc_id").alias("relevant_doc_ids"),
+             F.count(F.lit(1)).alias("n_judgments"))
+        .where(F.col("n_judgments") >= min_relevant)
+    )
+
+
+def query_stats(query_history: DataFrame, feedback: DataFrame) -> DataFrame:
+    """A6 (core.py:84-98): corpus-level query/feedback statistics."""
+    qh = query_history.agg(
+        F.count(F.lit(1)).alias("total_queries"),
+        F.countDistinct("query_text").alias("unique_queries"),
+        F.round(F.avg("semantic_weight"), 6).alias("avg_semantic_weight"),
+    )
+    fb = feedback.agg(
+        F.count(F.lit(1)).alias("total_feedback"),
+        F.sum(F.when(F.col("clicked"), 1).otherwise(0)).alias("total_clicks"),
+        F.round(F.avg("relevance_score"), 6).alias("avg_relevance"),
+    )
+    return qh.crossJoin(fb)
+
+
 # ---------------------------------------------------------------------------
 # IR evaluation metrics (evaluation.py:80-129 formulas, distributed)
 # ---------------------------------------------------------------------------

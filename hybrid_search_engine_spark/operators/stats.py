@@ -107,14 +107,21 @@ def corpus_scalars(docs: DataFrame, dstats: DataFrame) -> CorpusScalars:
 
 def build_statistics(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", remove_stopwords: bool = True,
-                     parity: bool = False):
+                     parity: bool = False, doc_count: int | None = None):
     """One-pass build of (tf, doc_stats, term_stats, scalars).
 
-    tf is cached across the two downstream aggregations — at scale you'd
+    tf is cached across the downstream aggregations — at scale you'd
     persist it to a table (the posting builder re-reads it anyway).
+    ``doc_count`` skips the separate count job when the caller already
+    knows N (e.g. from the fused fingerprint aggregate in build_index).
     """
     tf = term_frequencies(docs, text_col, id_col, remove_stopwords, parity).cache()
     dstats = doc_stats_from_tf(tf)
-    scalars = corpus_scalars(docs.select(id_col), dstats)
+    if doc_count is None:
+        doc_count = docs.select(id_col).count()
+    total = dstats.agg(F.sum("doc_len")).first()[0] or 0
+    scalars = CorpusScalars(
+        doc_count=doc_count,
+        avg_doc_len=(total / doc_count if doc_count else 0.0))
     tstats = term_stats(tf, scalars.doc_count)
     return tf, dstats, tstats, scalars

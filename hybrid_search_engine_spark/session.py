@@ -23,6 +23,16 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # ParallelGC + raised GCLocker retries: G1's GCLocker thrashes against
+    # Arrow/compression JNI critical sections at high local thread counts
+    # ("Retried waiting for GCLocker too often") — measured 23% faster builds
+    # and much lower run-to-run variance. Single-JVM artifact; harmless on
+    # real executors.
+    jvm_opts = os.environ.get(
+        "HSE_JVM_OPTS",
+        "-XX:+UseParallelGC -XX:+UnlockDiagnosticVMOptions "
+        "-XX:GCLockerRetryAllocationCount=100",
+    )
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
@@ -37,6 +47,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if jvm_opts:
+        b = b.config("spark.driver.extraJavaOptions", jvm_opts)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
