@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import re
 
-# The reference's 51-word stopword list (extractor.py:6-12). This is a
+# The reference's 48-word stopword list (extractor.py:6-12). This is a
 # semantic constant of the system under rebuild, not code.
 STOPWORDS = frozenset(
     """a an the and or but in on at to for of with by from is are was were be
