@@ -29,7 +29,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 def main() -> None:
     from hybrid_search_engine_spark.session import get_spark
 
-    spark = get_spark(app="bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark = get_spark(app="bench", cores=CPUS)  # sp = 4×cores default
     spark.range(10_000_000).selectExpr("sum(id)").collect()  # warmup
 
     from hybrid_search_engine_spark import contract
@@ -50,9 +50,7 @@ def main() -> None:
     idx_dir = os.path.join(tempfile.mkdtemp(prefix="bench_idx_"), "idx")
     timed("index_build", lambda: build_index(
         spark, docs, idx_dir, n_shards=min(CPUS, 32)))
-    reader = IndexReader(spark, idx_dir)
-    reader.postings = reader.postings.cache()
-    reader.postings.count()
+    reader = IndexReader(spark, idx_dir, cache_postings=True)
 
     timed("bm25_query_pruned", lambda: reader.search(
         contract.FLAGSHIP_QUERY, k=10).collect())

@@ -2,8 +2,10 @@
 """Scaling-efficiency benchmark (north rule: ≥0.8 from N to 4N).
 
 Sandbox proxy for two cluster sizes: the SAME index-build job on the SAME
-input at local[N] vs local[4N] (fresh JVM each, fixed shuffle partitions =
-cores, identical n_shards). Reports docs/sec at both, efficiency =
+input at local[N] vs local[4N] (fresh JVM each, identical n_shards and
+identical build partitioning — build_index sizes its own repartitions from
+n_docs, so the work layout is core-count-independent). Reports docs/sec at
+both, efficiency =
 (thr_4N / thr_N) / 4, plus query latency p50/p95 and batch throughput, into
 BENCH/BASELINE.md. Default pair 4,16 — see CORES_PAIR note.
 
@@ -36,11 +38,14 @@ def child(cores: int, pages_path: str, out_json: str) -> None:
     from hybrid_search_engine_spark.session import get_spark
     from hybrid_search_engine_spark.sources.pages import pages_to_docs
 
-    spark = get_spark(app=f"scale{cores}", cores=cores, shuffle_partitions=cores)
+    spark = get_spark(app=f"scale{cores}", cores=cores)  # sp = 4×cores default
     spark.range(10_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
     pages = spark.read.parquet(pages_path)
-    docs = pages_to_docs(pages).repartition(cores).cache()
+    # repartition BEFORE the extraction UDF (single-row-group inputs would
+    # otherwise serialize extraction onto one scan task); 4× cores keeps
+    # task granularity fine enough to hide stragglers at both core counts
+    docs = pages_to_docs(pages, partitions=4 * cores).cache()
     n_docs = docs.count()
 
     # IDENTICAL job at both parallelism levels: n_shards fixed at 32 so the
@@ -53,9 +58,7 @@ def child(cores: int, pages_path: str, out_json: str) -> None:
     from fixtures.gen_corpus import all_queries
 
     queries = all_queries()
-    reader = IndexReader(spark, idx_dir)
-    reader.postings = reader.postings.cache()
-    reader.postings.count()
+    reader = IndexReader(spark, idx_dir, cache_postings=True)
 
     # single-query latency (plan build + execute per query — latency path);
     # a 40-query sample keeps the bench bounded, batch covers all 100
@@ -160,7 +163,39 @@ is why the N,4N pair is {lo},{hi} rather than 8,32).
 
 Query set: {results[lo]['n_queries']} queries (5 reference demo queries from
 /root/reference/main.py:50-54,109,137 + 95 generated at mixed term
-frequencies incl. OOV). k=10, block-max pruned path, warm index.
+frequencies incl. OOV). k=10, block-max pruned path, warm shard-partitioned
+postings cache (exchange-free per-query applyInPandas).
+
+## Round-2 root-cause log (superlinear 200k→1M build, now fixed)
+
+Round 1 measured 3,024 docs/s at 200k but 1,231 docs/s at 1M (16 cores) —
+superlinear cost growth that would break any 100× scale-up. Controlled
+experiments isolated TWO causes:
+
+1. **Aggregation-map footprint grew with corpus size.** The naive
+   explode → partial agg → exchange((doc,term)) → final agg plan put
+   `distinct(doc,term)/partitions` groups in every task's hash map. At 1M
+   docs / 16 partitions that is ~5.5M groups (~450MB) per task: measured
+   43.0s (200k) → 471.6s (1M) for the identical plan — 11× for 5× data.
+   Raising reduce partitions 16→64 alone cut it to 247.8s (≈ linear),
+   proving map size (spill + cache-miss regime), not data volume, was the
+   cost. Fix: `stats.term_frequencies_with_doclen` repartitions docs by
+   doc_id FIRST (P = n_docs/8192, core-count-independent), so the agg needs
+   NO token-grain exchange at all and every map/sort footprint is bounded
+   by an explicit knob; doc_len rides the same partitioning as a window
+   (the tf ⋈ doc_stats sort-merge join is gone). The posting build's only
+   tf-grain shuffle is the shard-layout repartition.
+2. **Single-row-group parquet input serialized extraction.** The fixture
+   corpus was one parquet row group, so the html→text pandas UDF ran as
+   ONE scan task (one python worker pegged ~5 min at 1M while 15 cores
+   idled). Fix: fixtures write 32k-row groups, and `pages_to_docs` takes
+   `partitions=` to repartition BEFORE the UDF projection (extraction is
+   outside build_s either way; this fixes wall-clock and makes the lesson
+   explicit — at 100 TB you repartition after a coarse scan, before the
+   expensive narrow stage).
+
+Session default changed: `spark.sql.shuffle.partitions = 4×cores` (AQE
+coalesces small stages back down; large aggs keep small per-task maps).
 
 Raw: {json.dumps(report)}
 """)

@@ -188,7 +188,10 @@ def write_pages_parquet(path: str, n_docs: int, seed: int = SEED) -> str:
         "text": pa.array([r["text"] for r in rows], pa.string()),
         "lang": pa.array([r["lang"] for r in rows], pa.string()),
     })
-    pq.write_table(table, path)
+    # explicit row groups: a single-row-group file is UNSPLITTABLE for any
+    # engine (Spark assigns the whole file to one scan task — measured: the
+    # 1M-doc extraction ran on 1 of 16 cores for ~5 min). 32k rows ≈ 45MB.
+    pq.write_table(table, path, row_group_size=32768)
     return path
 
 

@@ -39,9 +39,13 @@ from ..operators.postings import (
     shard_metrics,
     write_postings,
 )
-from ..operators.stats import build_statistics
+from ..operators.stats import term_frequencies_with_doclen, term_stats
 
 MANIFEST_NAME = "_manifest.jsonl"
+
+# granularity of the statistics stage: bounds the per-task aggregation-map
+# footprint independently of core count (see term_frequencies_with_doclen)
+DOCS_PER_BUILD_PARTITION = 8192
 
 
 @dataclass
@@ -76,10 +80,15 @@ def append_manifest(index_dir: str, records: list[dict]) -> None:
 
 
 def source_fingerprint(docs: DataFrame) -> dict:
-    """Lineage: identifies the exact source the shards were built from."""
+    """Lineage: identifies the exact source the shards were built from.
+
+    Hashes CONTENT, not just ids: ``bit_xor(xxhash64(doc_id, text))`` is
+    order-insensitive and changes when any document's text changes, so a
+    regenerated corpus with the same ids invalidates every shard (one fused
+    aggregate, same cost shape as the id-only form)."""
     agg = docs.agg(
         F.count(F.lit(1)).alias("n"),
-        F.expr("bit_xor(xxhash64(doc_id))").alias("h"),  # order-insensitive
+        F.expr("bit_xor(xxhash64(doc_id, text))").alias("h"),
     ).first()
     return {"n_docs": int(agg["n"]), "id_hash": int(agg["h"] or 0)}
 
@@ -124,25 +133,73 @@ def build_index(
     t0 = time.time()
     docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
-    fp = source_fingerprint(docs)  # one agg: count + id hash (fused)
+    fp = source_fingerprint(docs)  # one agg: count + content hash (fused)
     _log("fingerprint done")
     done = done_shards(index_dir, fp)
     todo = [s for s in range(n_shards) if s not in done]
+
+    # fully-resumed no-op: every shard done for this exact source AND the
+    # stats tables were committed for the same fingerprint → skip the
+    # statistics recompute entirely (repeat contract/bench calls pay only
+    # the fingerprint aggregate)
+    corpus_json = os.path.join(index_dir, "stats", "corpus.json")
+    if not todo and os.path.exists(corpus_json):
+        with open(corpus_json) as f:
+            corpus = json.load(f)
+        if corpus.get("source_fingerprint") == fp:
+            elapsed = time.time() - t0
+            return IndexBuildResult(
+                index_dir=index_dir, n_shards=n_shards, built_shards=[],
+                skipped_shards=sorted(done), elapsed_s=elapsed,
+                docs_per_sec=0.0, avg_doc_len=corpus["avg_doc_len"],
+                doc_count=corpus["doc_count"],
+            )
     simulate_crash = False
     if fail_after_shards is not None and len(todo) > fail_after_shards:
         todo = todo[:fail_after_shards]
         simulate_crash = True
 
-    tf, dstats, tstats, scalars = build_statistics(docs,
-                                                   doc_count=fp["n_docs"])
+    # --- statistics: ONE exchange (raw docs by doc_id), materialized to
+    # parquet — the tf table is both the posting builder's input and build
+    # lineage (a crash-resume skips straight to the missing shards without
+    # re-tokenizing). At 100 TB this is the "persist tf as a table" step.
+    n_docs = fp["n_docs"]
+    p_stats = max(spark.sparkContext.defaultParallelism,
+                  -(-n_docs // DOCS_PER_BUILD_PARTITION))
+    tf_dir = os.path.join(index_dir, "tf")
+    tf_marker = os.path.join(tf_dir, "_fingerprint.json")  # _-prefixed: scan-invisible
+    tf_fresh = False
+    if os.path.exists(tf_marker):
+        with open(tf_marker) as f:
+            tf_fresh = json.load(f) == fp
+    if not tf_fresh:
+        tfdl = term_frequencies_with_doclen(docs, n_partitions=p_stats)
+        tfdl.write.mode("overwrite").parquet(tf_dir)
+        with open(tf_marker, "w") as f:
+            json.dump(fp, f)
+        _log("tf table written")
+    tf = spark.read.parquet(tf_dir)
+
+    # term stats: vocabulary-sized agg over the tf table; written first,
+    # read back for the broadcast join (computed exactly once)
+    tstats_path = os.path.join(index_dir, "stats", "term_stats")
+    term_stats(tf.select("doc_id", "term", "tf"), n_docs).write.mode(
+        "overwrite").parquet(tstats_path)
+    tstats = spark.read.parquet(tstats_path)
+    # avgdl from the (tiny) term_stats table: Σcf = total surviving tokens
+    total_tokens = tstats.agg(F.sum("cf")).first()[0] or 0
+    avg_doc_len = total_tokens / n_docs if n_docs else 0.0
     _log("statistics built")
 
     posting_path = os.path.join(index_dir, "postings")
     built = []
     if todo:
         postings = build_postings(
-            tf, dstats, tstats, scalars.avg_doc_len, n_shards=n_shards,
+            tf, None, tstats, avg_doc_len, n_shards=n_shards,
             k1=k1, b=b, block_size=block_size, shard_filter=todo,
+            # encode granularity follows the statistics granularity so
+            # per-task sort/encode footprints stay bounded as data grows
+            build_partitions=max(2 * n_shards, p_stats),
         )
         # dynamic partition overwrite: only the shards in `todo` are
         # replaced; previously-completed shard dirs are untouched, and a
@@ -181,25 +238,27 @@ def build_index(
         append_manifest(index_dir, records)
         built = todo
 
-    # stats tables (idempotent full rewrite — tiny relative to postings)
+    # doc_stats table + corpus scalars (term_stats already written above;
+    # doc_stats derives from the tf table's attached doc_len — cheap scan)
     if not simulate_crash:
-        tstats.write.mode("overwrite").parquet(os.path.join(index_dir, "stats", "term_stats"))
-        dstats.write.mode("overwrite").parquet(os.path.join(index_dir, "stats", "doc_stats"))
+        (tf.select("doc_id", "doc_len").groupBy("doc_id")
+         .agg(F.max("doc_len").alias("doc_len"))
+         .write.mode("overwrite")
+         .parquet(os.path.join(index_dir, "stats", "doc_stats")))
         _log("stats tables written")
         with open(os.path.join(index_dir, "stats", "corpus.json"), "w") as f:
-            json.dump({"doc_count": scalars.doc_count,
-                       "avg_doc_len": scalars.avg_doc_len,
+            json.dump({"doc_count": n_docs,
+                       "avg_doc_len": avg_doc_len,
                        "k1": k1, "b": b, "n_shards": n_shards,
                        "block_size": block_size,
                        "source_fingerprint": fp}, f)
-    tf.unpersist()
 
     elapsed = time.time() - t0
     result = IndexBuildResult(
         index_dir=index_dir, n_shards=n_shards, built_shards=built,
         skipped_shards=sorted(done), elapsed_s=elapsed,
         docs_per_sec=(fp["n_docs"] * len(built) / n_shards) / elapsed if elapsed else 0.0,
-        avg_doc_len=scalars.avg_doc_len, doc_count=scalars.doc_count,
+        avg_doc_len=avg_doc_len, doc_count=n_docs,
     )
     if simulate_crash:
         raise RuntimeError(f"simulated crash after shards {todo}")
@@ -213,16 +272,29 @@ class IndexReader:
     once (one job) so per-query latency pays zero stats lookups — right
     whenever the vocabulary fits driver memory. At web scale leave it False:
     queries then do a parquet point-lookup pruned by the term IN-list.
+
+    ``cache_postings=True`` caches the postings hash-partitioned by
+    shard_id. The per-query plan is ``groupBy(shard_id).applyInPandas``:
+    against a raw parquet read it needs an exchange every query; against
+    the shard-partitioned cache the ClusteredDistribution(shard_id)
+    requirement is already satisfied, so a query is ONE stage (scan matched
+    terms → shard scorer) plus the k·P TakeOrdered merge — the warm-path
+    latency fix. Costs one upfront job + executor memory for the cache.
     """
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 cache_term_stats: bool = True):
+                 cache_term_stats: bool = True,
+                 cache_postings: bool = False):
         self.spark = spark
         self.postings = read_postings(spark, os.path.join(index_dir, "postings"))
         self.term_stats = spark.read.parquet(
             os.path.join(index_dir, "stats", "term_stats"))
         with open(os.path.join(index_dir, "stats", "corpus.json")) as f:
             self.corpus = json.load(f)
+        if cache_postings:
+            self.postings = self.postings.repartition(
+                int(self.corpus["n_shards"]), "shard_id").cache()
+            self.postings.count()
         self._tstats_arg = self.term_stats
         if cache_term_stats:
             self._tstats_arg = {

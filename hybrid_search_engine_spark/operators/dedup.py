@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens_native
+from ..functions.text import tokens_native, tokens_native_keep_order
 
 
 # ---------------------------------------------------------------------------
@@ -191,10 +191,15 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
               ) -> DataFrame:
     """→ (doc_id, simhash bigint): sign-sum of xxhash64 token bits weighted
     by tf. Pure aggregation: explode tokens → per (doc, bit) majority vote
-    via SUM over ±tf → assemble 64 bits. Shuffle = one groupBy(doc_id)."""
+    via SUM over ±tf → assemble 64 bits. Shuffle = one groupBy(doc_id).
+
+    Tokens come from the order/duplicate-preserving filter (NOT
+    ``tokens_native``, whose array_except dedups) so tf weighting is real:
+    'cat cat cat dog' weights the cat-hash bits 3×."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(tokens_native(F.col(text_col), remove_stopwords=True)).alias("term"),
+        F.explode(tokens_native_keep_order(F.col(text_col), remove_stopwords=True)
+                  ).alias("term"),
     ).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     h = toks.withColumn("h", F.xxhash64("term"))
     bit_sums = [
@@ -268,16 +273,21 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     Inverted-style candidate generation: explode distinct n-grams, drop
     boilerplate n-grams with df > df_cap (skew guard), self-join on the
     n-gram, count shared grams per pair, then Jaccard from set sizes —
-    |A∩B| computed by the join, no array intersection on wide rows."""
+    |A∩B| computed by the join, no array intersection on wide rows.
+
+    With ``df_cap`` active, Jaccard is computed over the CAPPED gram sets
+    (sizes and intersection both exclude boilerplate grams), so numerator
+    and denominator are consistent: the score is the exact Jaccard of the
+    non-boilerplate grams, not a mixed-denominator underestimate."""
     grams = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     if df_cap:
         gdf = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
         grams = grams.join(F.broadcast(gdf.where(F.col("gdf") > df_cap)),
                            "g", "left_anti")
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (
         a.join(b, "g")
@@ -315,41 +325,67 @@ def _norm(a):
 def embedding_near_dup_pairs(emb: DataFrame, vec_col: str = "embedding",
                              id_col: str = "vec_id",
                              threshold: float = 0.95,
-                             n_planes: int = 8) -> DataFrame:
+                             n_planes: int = 8, seed: int = 7,
+                             multiprobe_hamming: int = 1,
+                             n_tables: int = 3) -> DataFrame:
     """→ (id_a, id_b, cosine ≥ threshold).
 
-    Bucketed candidate generation: random-hyperplane sign hash (planes are
-    deterministic hash-derived pseudo-vectors, seedable) — near-identical
-    vectors agree on all signs with high probability; verify with exact
-    cosine. Semantics model: semantic_cache.py:63-149 (10-table LSH, exact
-    cosine ≥ 0.95 verify)."""
-    d = F.size(F.col(vec_col))
-    # deterministic pseudo-random plane p_j[i] = hash(j, i) mapped to ±1
-    def plane_sign(j):
-        return F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.transform(F.sequence(F.lit(0), d - 1),
-                            lambda i: F.when(
-                                F.pmod(F.xxhash64(F.lit(j), i), F.lit(2)) == 0,
-                                F.lit(1.0)).otherwise(F.lit(-1.0))),
-                lambda x, s: x.cast("double") * s,
-            ),
-            F.lit(0.0).cast("double"), lambda acc, v: acc + v,
-        ) > 0
-    sig = emb.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
-        F.concat_ws("", *[plane_sign(j).cast("int").cast("string")
-                          for j in range(n_planes)]).alias("bucket"),
-    )
-    a, b = sig.alias("a"), sig.alias("b")
+    Bucketed candidate generation: random-hyperplane sign hashes (same
+    deterministic plane family as similarity.hyperplane_bucket), verify
+    with exact cosine. Semantics model: semantic_cache.py:63-149 — the
+    reference itself runs a 10-TABLE LSH with exact cosine ≥ 0.95 verify,
+    because a single sign-hash table has a recall cliff: a 0.95-cosine
+    pair disagrees on a given plane with p = θ/π ≈ 0.10, so with 8 planes
+    it lands in the same bucket only ~43% of the time.
+
+    Two standard recall levers, both on by default:
+    - **multiprobe** (hamming-1, mirroring similarity.ann_search): each
+      vector also probes the n_planes buckets one sign-flip away;
+    - **multi-table** (``n_tables`` independent plane sets, union of
+      candidates): per-table miss rates multiply — with hamming-1 probes
+      and 3 tables the miss rate at cosine 0.95 is ~0.2³ ≈ 1%.
+
+    Cost: probe side is n_tables·(n_planes+1)× rows, but the join stays
+    bucket-equi (key = (table_id, bucket)), candidates dedup before the
+    verify, and the verify stays candidate-only. ``n_planes=0`` is the
+    exact mode (one bucket — full self-join; small inputs only)."""
+    from .similarity import hyperplane_bucket
+
+    vid, v = F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    if n_planes <= 0:
+        sig = emb.select(vid, v, F.lit(0).alias("table_id"),
+                         F.lit(0).alias("bucket"))
+        probes = sig
+    else:
+        tables = F.array(*[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                hyperplane_bucket(F.col(vec_col), n_planes, seed + t
+                                  ).alias("bucket"))
+            for t in range(max(1, n_tables))
+        ])
+        sig = (emb.select(vid, v, F.explode(tables).alias("tb"))
+               .select("vid", "v", "tb.table_id", "tb.bucket"))
+        probes = sig
+        if multiprobe_hamming >= 1:
+            variants = F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                  for j in range(n_planes)],
+            )
+            probes = sig.select("vid", "v", "table_id",
+                                F.explode(variants).alias("bucket"))
+    a, b = probes.alias("a"), sig.alias("b")
     return (
-        a.join(b, "bucket")
+        a.join(b, ["table_id", "bucket"])
         .where(F.col("a.vid") < F.col("b.vid"))
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"),
+                F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+        .dropDuplicates(["id_a", "id_b"])  # pairs surface via many probes
         .select(
-            F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"),
-            (_dot(F.col("a.v"), F.col("b.v"))
-             / (_norm(F.col("a.v")) * _norm(F.col("b.v")))).alias("cosine"),
+            "id_a", "id_b",
+            (_dot(F.col("va"), F.col("vb"))
+             / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -43,24 +43,81 @@ def max_normalize(df: DataFrame, score_col: str, out_col: str,
 
 def fuse_hybrid(sem: DataFrame, lex: DataFrame, w_sem: float = 0.7,
                 w_lex: float = 0.3, id_col: str = "doc_id",
-                query_col: str | None = "query_id", k: int | None = None
-                ) -> DataFrame:
-    """Full outer join of the two score tables (a doc may appear on only one
-    side — missing side contributes 0, matching the dense-vector semantics
-    of core.py where absent ≡ zero score), min-max normalize each side per
-    query, weighted sum, optional per-query top-k."""
+                query_col: str | None = "query_id", k: int | None = None,
+                n_docs: int | None = None) -> DataFrame:
+    """Full outer join of the two score tables, min-max normalize each side
+    per query, weighted sum, optional per-query top-k.
+
+    **Dense parity mode** (``n_docs`` = corpus size): the reference
+    normalizes DENSE all-docs score vectors (core.py:264-268 building
+    num_docs-length vectors, utils.py:57-71 min-max over them), where a doc
+    absent from a side holds literal 0.0 — so 0 participates in that side's
+    min/max whenever any corpus doc is missing from it. With ``n_docs``
+    given, each per-query side min is clamped to ≤0 (and max to ≥0) iff the
+    side covers fewer than n_docs docs, and a doc missing from one side is
+    filled with that side's normalized-zero value rather than raw 0 — this
+    reproduces the reference fused scores exactly for every doc present in
+    at least one side. (Docs absent from BOTH sides — all scored the
+    side-constant fill by the reference — are not emitted; they can never
+    outrank an emitted doc when weights are positive. A query with an empty
+    side contributes 0 for that side; the reference's degenerate all-equal
+    →1.0 edge on an all-zero dense vector is not reproduced.)
+
+    ``n_docs=None`` is sparse mode: min/max over present rows only, missing
+    side → 0. NOT reference parity — use for candidate-pool fusion where
+    the candidate set, not the corpus, is the universe."""
     if abs(w_sem + w_lex - 1.0) > 1e-9:
         raise ValueError("weights must sum to 1.0 (core.py:232)")
     keys = [query_col, id_col] if query_col else [id_col]
     part = [query_col] if query_col else []
-    s = minmax_normalize(sem, "sem_score", "sem_n", part)
-    l = minmax_normalize(lex, "lex_score", "lex_n", part)
+
+    def side_stats(df: DataFrame, score_col: str):
+        """Per-query (mn, mx, fill): dense-clamped bounds + the normalized
+        value of an absent doc's 0.0 score."""
+        g = df.groupBy(*part)
+        st = g.agg(F.min(score_col).alias("mn"), F.max(score_col).alias("mx"),
+                   F.count(F.lit(1)).alias("cnt"))
+        if n_docs is not None:
+            sparse = F.col("cnt") < F.lit(int(n_docs))
+            st = st.select(
+                *part,
+                F.when(sparse, F.least(F.col("mn"), F.lit(0.0)))
+                .otherwise(F.col("mn")).alias("mn"),
+                F.when(sparse, F.greatest(F.col("mx"), F.lit(0.0)))
+                .otherwise(F.col("mx")).alias("mx"),
+            )
+            fill = F.when(F.col("mx") == F.col("mn"), F.lit(1.0)).otherwise(
+                (F.lit(0.0) - F.col("mn")) / (F.col("mx") - F.col("mn")))
+        else:
+            st = st.select(*part, "mn", "mx")
+            fill = F.lit(0.0)
+        return st.withColumn("fill", fill)
+
+    def normalize(df: DataFrame, score_col: str, out: str, st: DataFrame):
+        j = df.join(F.broadcast(st), part) if part else df.crossJoin(F.broadcast(st))
+        normed = F.when(F.col("mx") == F.col("mn"), F.lit(1.0)).otherwise(
+            (F.col(score_col) - F.col("mn")) / (F.col("mx") - F.col("mn")))
+        return j.select(*keys, normed.alias(out))
+
+    st_s, st_l = side_stats(sem, "sem_score"), side_stats(lex, "lex_score")
+    s = normalize(sem, "sem_score", "sem_n", st_s)
+    l = normalize(lex, "lex_score", "lex_n", st_l)
+    joined = s.join(l, keys, "full_outer")
+    fill_s = st_s.select(*part, F.col("fill").alias("sem_fill"))
+    fill_l = st_l.select(*part, F.col("fill").alias("lex_fill"))
+    if part:
+        joined = (joined.join(F.broadcast(fill_s), part, "left")
+                  .join(F.broadcast(fill_l), part, "left"))
+    else:
+        joined = (joined.crossJoin(F.broadcast(fill_s))
+                  .crossJoin(F.broadcast(fill_l)))
     joined = (
-        s.select(*keys, "sem_n")
-        .join(l.select(*keys, "lex_n"), keys, "full_outer")
-        .fillna({"sem_n": 0.0, "lex_n": 0.0})
+        joined
+        .withColumn("sem_n", F.coalesce("sem_n", "sem_fill", F.lit(0.0)))
+        .withColumn("lex_n", F.coalesce("lex_n", "lex_fill", F.lit(0.0)))
         .withColumn("hybrid_score",
                     F.lit(w_sem) * F.col("sem_n") + F.lit(w_lex) * F.col("lex_n"))
+        .drop("sem_fill", "lex_fill")
     )
     if k is not None:
         w = Window.partitionBy(*(part or [F.lit(1)])).orderBy(

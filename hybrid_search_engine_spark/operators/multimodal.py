@@ -50,12 +50,15 @@ _FEATURE_SCHEMA = T.StructType([
 
 
 def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Deterministic stand-in for a real decoder: features derived from the
-    sha256 of the payload — stable across runs/executors."""
-    h = hashlib.sha256(payload).digest()
-    seed = int.from_bytes(h[:8], "big") % (2**32)
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal(dim).astype(np.float32)
+    """Deterministic stand-in for a real decoder: feature i is the i-th hex
+    nibble of sha256(payload), mapped to nib/16 − 0.5 — a dyadic rational,
+    exactly representable in float32 AND float64, so any engine (e.g. a
+    DuckDB oracle doing strpos-nibble arithmetic on sha256 hex) replays the
+    values bit-for-bit. Stable across runs/executors."""
+    h = hashlib.sha256(payload).hexdigest()  # 64 nibbles == FEATURE_DIM
+    reps = -(-dim // len(h))
+    return np.array([int(c, 16) / 16.0 - 0.5 for c in (h * reps)[:dim]],
+                    dtype=np.float32)
 
 
 def decode_image(payload: bytes, deterministic_fake: bool = False) -> np.ndarray:

@@ -1,17 +1,23 @@
 """Posting-list construction: term-partitioned encode, doc-shard layout.
 
-Dataflow (explicit shapes — Catalyst won't invent these, SURVEY.md §4):
+Dataflow (explicit shapes — Catalyst won't invent these, SURVEY.md §4).
+Build path (build/manifest.py): tf arrives from the materialized tf table
+WITH doc_len already attached (stats.term_frequencies_with_doclen), so the
+ONLY tf-grain shuffle in the posting build is the shard repartition:
 
-    tf(doc_id, term, tf)                    [from operators.stats — shuffle 1]
-      ⋈ doc_stats(doc_id, doc_len)          [co-keyed join]
+    tf(doc_id, term, tf, doc_len)           [tf parquet — no doc_id join]
       ⋈ broadcast(term_stats(term, idf))    [vocabulary-sized broadcast]
-      → repartition(P, shard_id)            [shuffle 2 — the explicit one]
+      → repartition(P, shard_id, term_bucket)  [THE tf-grain shuffle]
       → sortWithinPartitions(shard_id, term, doc_id)
       → mapInPandas(block encoder)          [Arrow-batch streaming, carries
                                              (shard, term) runs across batches]
       → postings(shard_id, term, block_id, first_doc, last_doc, n,
                  deltas, tfs, dls, max_tf, max_score)
       → write parquet partitioned by shard_id (idempotent per-shard overwrite)
+
+(A caller with a bare tf(doc_id, term, tf) can still pass ``dstats`` — the
+co-keyed join path — but the fused form avoids sorting the whole tf relation
+twice for a sort-merge join at scale.)
 
 Sharding doubles as the **explicit hot-term salting**: shard_id =
 pmod(hash(doc_id), n_shards), so a Zipf-head term's posting list is split
@@ -105,21 +111,24 @@ def _encoder_stream(k1: float, b: float, avgdl: float, block_size: int):
     return fn
 
 
-def build_postings(tf: DataFrame, dstats: DataFrame, tstats: DataFrame,
+def build_postings(tf: DataFrame, dstats: DataFrame | None, tstats: DataFrame,
                    avgdl: float, n_shards: int = 32,
                    k1: float = 1.5, b: float = 0.75,
                    block_size: int = BLOCK_SIZE_DEFAULT,
                    build_partitions: int | None = None,
                    shard_filter: list[int] | None = None) -> DataFrame:
     """→ posting-block DataFrame (not yet written). ``shard_filter`` limits
-    the build to specific shards (resume path)."""
+    the build to specific shards (resume path).
+
+    ``dstats=None`` when ``tf`` already carries a ``doc_len`` column
+    (stats.term_frequencies_with_doclen — the build path): skips the
+    doc_id join entirely, leaving the shard repartition as the ONLY
+    tf-grain shuffle in the posting build."""
     from .. import ensure_udf_serializable
 
     ensure_udf_serializable()
-    enriched = (
-        tf.join(dstats, "doc_id")
-        .join(F.broadcast(tstats.select("term", "idf")), "term")
-    )
+    enriched = tf if dstats is None else tf.join(dstats, "doc_id")
+    enriched = enriched.join(F.broadcast(tstats.select("term", "idf")), "term")
     enriched = with_shard(enriched, n_shards)
     if shard_filter is not None:
         enriched = enriched.where(F.col("shard_id").isin([int(s) for s in shard_filter]))

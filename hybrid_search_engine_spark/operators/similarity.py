@@ -57,9 +57,12 @@ def knn_batch_pandas(spark: SparkSession, emb: DataFrame,
                      ) -> DataFrame:
     """→ (query_id, rank, vec_id, cosine): all queries in one Arrow pass.
 
-    Per partition: candidates = argpartition(Q · Eᵀ) — numpy matmul over the
+    Per partition: candidates = top-k of Q · Eᵀ — numpy matmul over the
     Arrow batch; ≤k rows per (partition, query) survive to the global
-    window merge."""
+    window merge. Per-batch truncation uses the SAME total order as the
+    global merge (round-half-up(cosine, 9) desc, vec_id asc), so pruning is
+    lossless: batch-local top-k under a total order commutes with the
+    global top-k."""
     from .. import ensure_udf_serializable
 
     ensure_udf_serializable()
@@ -82,10 +85,12 @@ def knn_batch_pandas(spark: SparkSession, emb: DataFrame,
             sims = qm @ E.T  # (Q, N)
             ids = pdf[id_col].to_numpy(np.int64)
             takes = min(k, ids.size)
-            part = np.argpartition(-sims, takes - 1, axis=1)[:, :takes]
+            # HALF_UP to 9 decimals, matching Spark's round() (np.round is
+            # half-even and can disagree at the k-th boundary)
+            r9 = np.sign(sims) * np.floor(np.abs(sims) * 1e9 + 0.5)
             out_q, out_i, out_c = [], [], []
             for r, qid in enumerate(qids):
-                sel = part[r]
+                sel = np.lexsort((ids, -r9[r]))[:takes]
                 out_q.append(np.full(takes, qid, np.int32))
                 out_i.append(ids[sel])
                 out_c.append(sims[r, sel])
@@ -146,12 +151,30 @@ def build_ann_index(emb: DataFrame, vec_col: str = "embedding",
     )
 
 
-def _bucket_of(qvec: np.ndarray, n_planes: int, seed: int) -> int:
-    """Driver-side mirror of hyperplane_bucket (same hash, numpy)."""
-    # xxhash64(seed, j, i) parity is not reproducible driver-side without
-    # the JVM hash; instead compute buckets for the query by evaluating the
-    # same expression on a one-row DataFrame (exactness over cleverness).
-    raise NotImplementedError  # see ann_search — bucket computed via Spark
+def save_ann_index(ann_index: DataFrame, path: str, n_planes: int = 8,
+                   seed: int = 7) -> None:
+    """S6: persist the bucketed ANN table partitioned by `bucket`, plus a
+    sidecar meta file carrying the plane parameters — the analogue of the
+    reference's FAISS index sidecar (core.py:244-252, indexer.py:229-243),
+    as a partition-pruned table instead of a single-process binary blob.
+    A probe then reads ONLY the probed bucket directories."""
+    import json
+    import os
+
+    ann_index.write.partitionBy("bucket").mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_ann_meta.json"), "w") as f:
+        json.dump({"n_planes": int(n_planes), "seed": int(seed)}, f)
+
+
+def load_ann_index(spark: SparkSession, path: str):
+    """→ (ann_index DataFrame, n_planes, seed). Round-trip of
+    save_ann_index; the returned frame is partition-prunable on `bucket`."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ann_meta.json")) as f:
+        meta = json.load(f)
+    return spark.read.parquet(path), meta["n_planes"], meta["seed"]
 
 
 def ann_search(spark: SparkSession, ann_index: DataFrame, qvec: list[float],

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize_documents
@@ -64,6 +64,46 @@ def term_frequencies(docs: DataFrame, text_col: str = "text",
     return exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
 
 
+def term_frequencies_with_doclen(docs: DataFrame, text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 remove_stopwords: bool = True,
+                                 n_partitions: int | None = None) -> DataFrame:
+    """A1+A5 fused: (doc_id, term, tf, doc_len) with ONE exchange — of raw
+    docs, not tokens. The web-scale statistics plan used by the index build.
+
+    Shape: ``repartition(P, doc_id)`` FIRST, then explode + aggregate.
+    HashPartitioning(doc_id) satisfies the aggregation's
+    ClusteredDistribution(doc_id, term), so Catalyst inserts NO token-grain
+    exchange — the only shuffle moves raw documents (≈ input bytes, ~KB per
+    row) instead of exploded tokens / partial-agg output (~4× larger).
+    doc_len then rides the same partitioning as a window sum: no groupBy
+    shuffle, no doc_id join downstream.
+
+    ``n_partitions`` directly bounds the per-task aggregation-map footprint
+    (groups/task ≈ distinct (doc,term) pairs / P). This is the fix for the
+    measured superlinearity of the naive explode→partial-agg plan: at 1M
+    docs / 16 input partitions each partial map held ~5.5M groups (~450MB)
+    — spill + cache-miss regime, 11× cost for 5× docs (43s→472s, see
+    BENCH/BASELINE.md). ~8k docs per task keeps maps ~50MB and linear."""
+    from ..reference_semantics import STOPWORDS
+
+    part = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(text_col).alias("text"))
+    if n_partitions:
+        part = part.repartition(int(n_partitions), "doc_id")
+    else:
+        part = part.repartition("doc_id")
+    exploded = part.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"[^a-z0-9_]+")).alias("term"),
+    ).where(F.col("term") != "")
+    if remove_stopwords:
+        exploded = exploded.where(~F.col("term").isin(sorted(STOPWORDS)))
+    tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return tf.withColumn(
+        "doc_len", F.sum("tf").over(Window.partitionBy("doc_id")))
+
+
 def doc_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               remove_stopwords: bool = True, parity: bool = False) -> DataFrame:
     """A5: (doc_id, doc_len) — token count after stopword removal."""
@@ -96,12 +136,23 @@ def term_stats(tf: DataFrame, doc_count: int) -> DataFrame:
     )
 
 
-def corpus_scalars(docs: DataFrame, dstats: DataFrame) -> CorpusScalars:
-    """A3: N from the docs table (counts token-empty docs, matching the
-    reference which divides by len(documents)); avgdl from doc_stats with
-    missing docs contributing 0."""
-    n = docs.count()
-    total = dstats.agg(F.sum("doc_len")).first()[0] or 0
+def corpus_scalars(docs: DataFrame, text_col: str = "text",
+                   remove_stopwords: bool = True) -> CorpusScalars:
+    """A3 in ONE aggregate job (no separate count action): N counts every
+    doc — token-empty included, matching the reference dividing by
+    len(documents) (bm25.py:52,71) — and avgdl = Σ post-stopword token
+    count / N, using the order-preserving filter so duplicate tokens count
+    toward length. Prefer ``build_statistics`` when tf is needed anyway
+    (its dstats ride the tf aggregation instead of re-tokenizing)."""
+    from ..functions.text import tokens_native_keep_order
+
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(tokens_native_keep_order(
+            F.col(text_col), remove_stopwords=remove_stopwords))).alias("total"),
+    ).first()
+    n = int(agg["n"])
+    total = int(agg["total"] or 0)
     return CorpusScalars(doc_count=n, avg_doc_len=(total / n if n else 0.0))
 
 

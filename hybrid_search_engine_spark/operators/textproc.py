@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -108,6 +109,80 @@ def snippet(text_col, query_terms: list[str], radius_chars: int = 80
     pos = F.coalesce(F.nullif(F.regexp_instr(c, F.lit(pat)), F.lit(0)), F.lit(1))
     start = F.greatest(pos - radius_chars, F.lit(1))
     return F.substring(c, start.cast("int"), 2 * radius_chars)
+
+
+def extract_snippets(df: DataFrame, query: str, text_col: str = "text",
+                     snippet_length: int = 150, max_snippets: int = 3,
+                     out_col: str = "snippets") -> DataFrame:
+    """SO5 full form: per-row multi-position snippets with overlap
+    suppression (reference highlighter.py:68-145).
+
+    Semantics note: the reference checks overlap against ``used_positions``
+    while collecting positions (highlighter.py:94-99), but only populates
+    that set AFTER collection (highlighter.py:136) — the suppression is
+    dead code and its runtime behavior is "3 earliest positions, overlaps
+    allowed". We implement the stated INTENT: greedy left-to-right accept,
+    skipping any position within ``snippet_length`` of an accepted one.
+    Word-boundary adjustment (±20 chars to a space), ellipses, and
+    ``<mark>`` highlighting match the reference lines 106-134.
+
+    This is a results-pool operator (runs on top-k rows, not the corpus),
+    so a per-row Arrow UDF is the right cost shape."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from .. import ensure_udf_serializable
+    from ..reference_semantics import tokenize
+
+    ensure_udf_serializable()
+    tokens = sorted(set(tokenize(query.lower())))
+    tok_res = [re.compile(r"\b" + re.escape(t) + r"\b") for t in tokens]
+    mark_re = (re.compile("(?i)\\b(" + "|".join(re.escape(t) for t in tokens)
+                          + ")\\b") if tokens else None)
+
+    def one(text: str) -> list[str]:
+        text = text or ""
+        if not tokens:
+            return [text[:snippet_length] + "..."
+                    if len(text) > snippet_length else text]
+        low = text.lower()
+        positions = sorted(m.start() for rx in tok_res
+                           for m in rx.finditer(low))
+        accepted: list[int] = []
+        for pos in positions:
+            if len(accepted) >= max_snippets:
+                break
+            if all(abs(pos - a) >= snippet_length for a in accepted):
+                accepted.append(pos)
+        out = []
+        half = snippet_length // 2
+        for pos in accepted:
+            start, end = max(0, pos - half), min(len(text), pos + half)
+            if start > 0:
+                sp = text.rfind(" ", max(0, start - 20), start)
+                if sp > 0:
+                    start = sp + 1
+            if end < len(text):
+                sp = text.find(" ", end, min(len(text), end + 20))
+                if sp > 0:
+                    end = sp
+            snip = text[start:end]
+            if start > 0:
+                snip = "..." + snip
+            if end < len(text):
+                snip = snip + "..."
+            out.append(mark_re.sub(r"<mark>\1</mark>", snip))
+        if not out:
+            out = [text[:snippet_length]
+                   + ("..." if len(text) > snippet_length else "")]
+        return out
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _snips(s: pd.Series) -> pd.Series:
+        return s.map(one)
+
+    return df.withColumn(out_col, _snips(F.coalesce(F.col(text_col),
+                                                    F.lit(""))))
 
 
 # ---------------------------------------------------------------------------

@@ -171,7 +171,11 @@ def _score_one_query(lists: dict, qinfo: dict, avgdl: float, k1: float,
 
     if cand_docs.size == 0:
         return cand_docs, cand_scores
-    order = np.lexsort((cand_docs, -np.round(cand_scores, 9)))[:k]
+    # HALF_UP to 9 decimals (np.round is half-even; the global merge uses
+    # Spark round() = half-up — per-shard truncation must use the same
+    # total order or a boundary tie can drop the doc the merge would keep)
+    r9 = np.sign(cand_scores) * np.floor(np.abs(cand_scores) * 1e9 + 0.5)
+    order = np.lexsort((cand_docs, -r9))[:k]
     return cand_docs[order], cand_scores[order]
 
 

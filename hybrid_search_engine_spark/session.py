@@ -22,7 +22,13 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # 4× cores, NOT cores: hash-agg/join task memory footprints scale with
+    # rows-per-reduce-task, and sizing reduce partitions at exactly `cores`
+    # put ~5.5M agg groups in one task's map at the 1M-doc scale (measured
+    # 1.9× whole-stage slowdown vs 4×). AQE's coalescePartitions folds the
+    # excess back together whenever partitions come out small, so the only
+    # cost of the higher initial number is scheduling a few more tasks.
+    shuffle_partitions = shuffle_partitions or max(4 * cores, 16)
     # ParallelGC + raised GCLocker retries: G1's GCLocker thrashes against
     # Arrow/compression JNI critical sections at high local thread counts
     # ("Retried waiting for GCLocker too often") — measured 23% faster builds

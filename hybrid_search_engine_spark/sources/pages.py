@@ -21,10 +21,18 @@ from pyspark.sql import functions as F
 from ..functions.text import with_extracted_text
 
 
-def pages_to_docs(pages: DataFrame, extract: bool = True) -> DataFrame:
+def pages_to_docs(pages: DataFrame, extract: bool = True,
+                  partitions: int | None = None) -> DataFrame:
     """pages → docs(doc_id, url, text, lang). Runs the parity extraction
-    stage (html→text pandas UDF) unless `text` is already populated."""
-    df = with_extracted_text(pages) if extract else pages
+    stage (html→text pandas UDF) unless `text` is already populated.
+
+    ``partitions`` repartitions BEFORE the extraction UDF — essential when
+    the source's scan granularity is coarse (e.g. few/one parquet row
+    groups): the UDF projection otherwise runs inside the scan stage at
+    scan parallelism, serializing the most expensive per-byte step of the
+    whole pipeline onto however many splits the file happens to have."""
+    df = pages.repartition(partitions) if partitions else pages
+    df = with_extracted_text(df) if extract else df
     return df.select(
         F.xxhash64("url").alias("doc_id"), "url", "text", "lang"
     )
