@@ -122,6 +122,7 @@ def main() -> None:
                  str(cores), pages_path, out],
                 check=True, cwd=REPO,
             )
+            time.sleep(15)  # idle cooldown: let the previous JVM's pages/page-cache settle
             with open(out) as f:
                 r = json.load(f)
             print(f"  -> {r['docs_per_sec']} docs/s", file=sys.stderr)

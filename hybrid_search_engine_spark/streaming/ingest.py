@@ -152,7 +152,8 @@ def compact_segments(spark: SparkSession, index_root: str, out_dir: str,
 
     tf_full = blocks.mapInPandas(decode_fn, schema=tf_schema)
     # exact dedup across segments is unnecessary: a doc lives in exactly one
-    # segment (deterministic ids, append-only batches); doc_len rides along
+    # segment (deterministic ids, append-only batches); doc_len rides along,
+    # so the posting rebuild takes the fused no-join path (dstats=None)
     tf = tf_full.select("doc_id", "term", "tf")
     dstats = tf_full.select("doc_id", "doc_len").groupBy("doc_id").agg(
         F.max("doc_len").alias("doc_len"))
@@ -168,7 +169,7 @@ def compact_segments(spark: SparkSession, index_root: str, out_dir: str,
     avgdl = total_len / n_docs if n_docs else 0.0
 
     tstats = term_stats(tf, n_docs)
-    postings = build_postings(tf, dstats, tstats, avgdl, n_shards=n_shards,
+    postings = build_postings(tf_full, None, tstats, avgdl, n_shards=n_shards,
                               k1=k1, b=b, block_size=block_size)
     from ..operators.postings import write_postings
 
@@ -183,6 +184,79 @@ def compact_segments(spark: SparkSession, index_root: str, out_dir: str,
                    "b": b, "n_shards": n_shards, "block_size": block_size,
                    "source_fingerprint": {"segments": len(segs)}}, f)
     return out_dir
+
+
+def sessionize_stream(events: DataFrame, gap_s: int = 1800,
+                      watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` (the streaming form of contract.q_sessionize).
+
+    State per user = (session_id, last_ts, n_events, sum_value). An event
+    more than ``gap_s`` after the previous one CLOSES the open session
+    (emitted downstream) and opens the next; a session with no successor is
+    closed by an event-time TIMEOUT once the watermark passes
+    last_ts + gap_s — so emission is append-mode and state is bounded by
+    the watermark, exactly the pattern for custom session windows that
+    ``F.window``/``session_window`` can't express when the close condition
+    is bespoke.
+
+    Output: (user_id, session_id, n_events, sum_value) — closed sessions
+    only; session_id is the 0-based per-user sequence, matching the batch
+    sessionizer's numbering."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = ("user_id bigint, session_id int, n_events bigint, "
+                  "sum_value double")
+    state_schema = ("session_id int, last_ts double, n_events bigint, "
+                    "sum_value double")
+
+    def fn(key, pdfs, state: GroupState):
+        user_id = int(key[0])
+
+        def emit(rows):
+            return pd.DataFrame({
+                "user_id": [user_id] * len(rows),
+                "session_id": [r[0] for r in rows],
+                "n_events": [r[1] for r in rows],
+                "sum_value": [r[2] for r in rows],
+            })
+
+        if state.hasTimedOut:
+            sid, last, n, sv = state.get
+            state.remove()
+            yield emit([(sid, n, sv)])
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        if state.exists:
+            sid, last, n, sv = state.get
+        else:
+            sid, last, n, sv = 0, None, 0, 0.0
+        closed = []
+        for r in rows.itertuples(index=False):
+            ts = r.ts.value / 1e9  # epoch seconds (UTC-naive ns since epoch)
+            if last is not None and ts - last > gap_s:
+                closed.append((sid, n, sv))
+                sid, n, sv = sid + 1, 0, 0.0
+            n += 1
+            sv += float(r.value)
+            last = ts
+        state.update((int(sid), float(last), int(n), float(sv)))
+        # close the open session when the watermark passes last + gap
+        deadline_ms = int((last + gap_s) * 1000)
+        state.setTimeoutTimestamp(max(deadline_ms,
+                                      state.getCurrentWatermarkMs() + 1))
+        if closed:
+            yield emit(closed)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                GroupStateTimeout.EventTimeTimeout)
+    )
 
 
 def windowed_event_counts(events_stream: DataFrame, window: str = "1 hour",

@@ -426,6 +426,53 @@ def test_ann_index_save_load_roundtrip(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# stateful streaming sessionization (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+def test_sessionize_stream_gap_and_timeout_close(spark, tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hybrid_search_engine_spark.streaming.ingest import sessionize_stream
+
+    t0 = dt.datetime(2024, 5, 1, 0, 0, 0)
+
+    def write(path, rows):
+        pq.write_table(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([t0 + dt.timedelta(seconds=r[1]) for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "value": pa.array([float(r[3]) for r in rows], pa.float64()),
+        }), path)
+
+    src = tmp_path / "events"
+    src.mkdir()
+    # user 1: session 0 = events at +0, +60; gap > 1800 → session 1 at +4000
+    # user 2: single open session at +0
+    write(str(src / "f1.parquet"),
+          [(1, 0, 1, 1.0), (2, 60, 1, 2.0), (3, 4000, 1, 5.0), (4, 0, 2, 7.0)])
+    # later files advance the watermark so open sessions time out
+    write(str(src / "f2.parquet"), [(5, 100_000, 90, 0.0)])
+    write(str(src / "f3.parquet"), [(6, 200_000, 91, 0.0)])
+
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, value double")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    out = sessionize_stream(stream, gap_s=1800, watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("hse_sess_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["user_id"], r["session_id"]): (r["n_events"], r["sum_value"])
+           for r in spark.table("hse_sess_stream").collect()}
+    assert got[(1, 0)] == (2, 3.0)     # closed by the gap
+    assert got[(1, 1)] == (1, 5.0)     # closed by event-time timeout
+    assert got[(2, 0)] == (1, 7.0)     # closed by event-time timeout
+
+
+# ---------------------------------------------------------------------------
 # knn_batch per-batch pruning is tie-safe
 # ---------------------------------------------------------------------------
 
