@@ -111,14 +111,24 @@ def main() -> None:
 
     workdir = tempfile.mkdtemp(prefix="bench_scaling_")
     results = {}
+    all_trials: dict[int, list] = {}
     n_trials = int(os.environ.get("HSE_BENCH_TRIALS", "2"))
     for cores in CORES_PAIR:
         best = None
+        all_trials[cores] = []
         for trial in range(n_trials):
             out = os.path.join(workdir, f"r{cores}_{trial}.json")
             print(f"build+query local[{cores}] trial {trial} …", file=sys.stderr)
+            # taskset: pin the whole child process tree (JVM + GC/JIT/shuffle
+            # threads + python workers) to exactly `cores` CPUs. local[N]
+            # bounds JVM task SLOTS, not compute — unpinned, a local[4] child
+            # borrows idle cores for GC, Python workers and shuffle netty,
+            # overstating small-"cluster" throughput and understating scaling
+            # efficiency. Pinning makes each parallelism level hardware-
+            # bounded the way an N-executor cluster is.
             subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child",
+                ["taskset", "-c", f"0-{cores - 1}",
+                 sys.executable, os.path.abspath(__file__), "--child",
                  str(cores), pages_path, out],
                 check=True, cwd=REPO,
             )
@@ -126,6 +136,7 @@ def main() -> None:
             with open(out) as f:
                 r = json.load(f)
             print(f"  -> {r['docs_per_sec']} docs/s", file=sys.stderr)
+            all_trials[cores].append(r["docs_per_sec"])
             if best is None or r["build_s"] < best["build_s"]:
                 best = r
         results[cores] = best
@@ -151,9 +162,13 @@ identical deterministic {n_docs:,}-doc synthetic corpus, at two parallelism
 levels (N={lo} and 4N={hi} cores) in fresh JVMs. Efficiency =
 (throughput@{hi} / throughput@{lo}) / {int(hi/lo)}; requirement >= 0.8.
 Best of {n_trials} trials per config (fresh JVM each — this VM shows 2-3x
-run-to-run JVM variance; raw-CPU probe: 1..32 processes scale 15.9 / 121.2 /
-350.3 M-iter/s at 1/8/32, i.e. the 32-vCPU box has ~16 physical cores, which
-is why the N,4N pair is {lo},{hi} rather than 8,32).
+run-to-run JVM variance). Each child is pinned with `taskset -c 0-(N-1)` so
+the GC/JIT/python/shuffle threads of the "small cluster" cannot borrow idle
+cores — unpinned, local[4] overstates throughput (measured 2857 vs 1965
+docs/s) and the efficiency number is meaningless. The N,4N pair is {lo},{hi}
+rather than 8,32 because a raw-CPU probe (1/8/32 procs: 15.9 / 121.2 / 350.3
+M-iter/s) shows the host caps 8→32 scaling at 0.72 — a hypervisor ceiling,
+not an engine property.
 
 | config | docs/sec (build) | query p50 ms | query p95 ms | query p99 ms | batch qps |
 |---|---|---|---|---|---|
@@ -197,6 +212,34 @@ experiments isolated TWO causes:
 
 Session default changed: `spark.sql.shuffle.partitions = 4×cores` (AQE
 coalesces small stages back down; large aggs keep small per-task maps).
+
+## Round-2b root-cause log (flat 4→16 scaling, now fixed)
+
+With the superlinearity gone, the first honest 1M-doc 4→16 run measured
+efficiency 0.348: the tf stage took ~190 s at BOTH core counts. Phase logs
+isolated the stage; a `jstack` mid-stage showed every executor thread inside
+`java.util.regex.Pattern$CharPredicate.lambda$negate` — the NEGATED char
+class in `split(lower(text), '[^a-z0-9_]+')` makes java.util.regex evaluate
+a per-character lambda. Controlled microbenchmarks on the identical 1.2 GB
+corpus at 16 cores:
+
+| expression | wall |
+|---|---|
+| scan + exchange only (sum(length(text))) | 11.5 s |
+| split on `[^a-z0-9_]+` (negated class) | 244.0 s |
+| regexp_extract_all `[a-z0-9_]+` (positive class) | 36.1 s |
+
+Two fixes, both in this repo:
+1. **Tokenize with the positive class** (`regexp_extract_all`, identical
+   token multiset — maximal `[a-z0-9_]+` runs either way): 6.8× on the
+   tokenize stage, and the stage scales with cores again.
+2. **Pin bench children with taskset** (see protocol note above) so the
+   measurement itself is honest.
+
+Variance note: per-config trials still spread up to ~1.5× (single-JVM GC
+and hypervisor noise; e.g. {hi}-core trials {all_trials[hi]} docs/s);
+best-of-{n_trials} per config is the protocol, and the efficiency is
+computed from same-config bests.
 
 Raw: {json.dumps(report)}
 """)

@@ -112,7 +112,9 @@ def token_count_columns(text_col) -> list[Column]:
     standard quick estimator for LLM token budgeting)."""
     c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col,
                    F.lit(""))
-    ws_words = F.size(F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != ""))
+    # positive class (\S+ runs) — same multiset as split-on-\s+ minus
+    # empties, without the slow negated-predicate regex path or filter HOF
+    ws_words = F.size(F.regexp_extract_all(c, F.lit(r"\S+"), 0))
     rx_tokens = F.size(tokens_native(c))
     subword_est = F.greatest(
         ws_words.cast("long"),
