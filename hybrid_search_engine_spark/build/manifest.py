@@ -280,11 +280,23 @@ class IndexReader:
     requirement is already satisfied, so a query is ONE stage (scan matched
     terms → shard scorer) plus the k·P TakeOrdered merge — the warm-path
     latency fix. Costs one upfront job + executor memory for the cache.
+
+    ``cache_tf=True`` additionally caches the build's materialized tf table
+    (doc_id, term, tf, doc_len) range-partitioned and sorted by term, and
+    ``search(mode="exact")`` scores it JVM-only (broadcast query join +
+    doc-grain agg, zero Python): measured decomposition showed the pruned
+    path's per-query floor is the Arrow/python exchange (~600 ms of a
+    ~900 ms p50 at 200k docs), so the latency tier stays in codegen; the
+    term-sorted cache gives in-memory batch min/max pruning on the join
+    key. Memory cost ≈ decoded tf size — right for a latency-serving
+    deployment, wrong for a 10^12-doc batch cluster (leave it off there;
+    the pruned path is the scale tier).
     """
 
     def __init__(self, spark: SparkSession, index_dir: str,
                  cache_term_stats: bool = True,
-                 cache_postings: bool = False):
+                 cache_postings: bool = False,
+                 cache_tf: bool = False):
         self.spark = spark
         self.postings = read_postings(spark, os.path.join(index_dir, "postings"))
         self.term_stats = spark.read.parquet(
@@ -301,8 +313,23 @@ class IndexReader:
                 r["term"]: float(r["idf"])
                 for r in self.term_stats.select("term", "idf").collect()
             }
+        self.tf = None
+        if cache_tf:
+            p = max(spark.sparkContext.defaultParallelism, 8)
+            self.tf = (
+                spark.read.parquet(os.path.join(index_dir, "tf"))
+                .repartitionByRange(p, "term")
+                .sortWithinPartitions("term")
+                .cache()
+            )
+            self.tf.count()
 
     def search(self, query: str, k: int = 10, mode: str = "pruned"):
+        """mode: 'pruned' (block-max, scale tier), 'exact' (JVM-only over
+        the tf cache when cache_tf=True — latency tier — else the pruned
+        machinery's exact scorer)."""
+        if mode == "exact" and self.tf is not None:
+            return self._search_exact_cached(query, k)
         from ..operators.wand import search_index
 
         return search_index(
@@ -310,6 +337,30 @@ class IndexReader:
             self.corpus["avg_doc_len"], query, k=k,
             k1=self.corpus["k1"], b=self.corpus["b"], mode=mode,
         )
+
+    def _search_exact_cached(self, query: str, k: int):
+        from collections import Counter
+
+        from ..operators.score import score_query_terms_inline, topk_single
+        from ..operators.wand import resolve_term_idf
+        from ..reference_semantics import tokenize
+
+        toks = Counter(tokenize(query, remove_stopwords=True))
+        idf = resolve_term_idf(self._tstats_arg, sorted(toks))
+        rows = [(0, t, float(w), idf[t]) for t, w in toks.items() if t in idf]
+        if not rows:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        qdf = self.spark.createDataFrame(
+            rows, "query_id int, term string, qweight double, idf double")
+        # isin literal filter BEFORE the join: the broadcast join alone scans
+        # every cached batch probing the hash table; the literal predicate
+        # lets InMemoryTableScan skip batches by term min/max stats (the
+        # cache is term-sorted for exactly this)
+        tf = self.tf.where(F.col("term").isin([r[1] for r in rows]))
+        scores = score_query_terms_inline(
+            qdf, tf, self.corpus["avg_doc_len"],
+            k1=self.corpus["k1"], b=self.corpus["b"])
+        return topk_single(scores, k)
 
     def search_batch(self, queries: list, k: int = 10, mode: str = "pruned"):
         """[(query_id, text)] → (query_id, rank, doc_id, score), one plan."""

@@ -86,6 +86,27 @@ def score_query_terms(qterms: DataFrame, tf: DataFrame, tstats: DataFrame,
     )
 
 
+def score_query_terms_inline(qterms_weighted: DataFrame, tf_doclen: DataFrame,
+                             avg_doc_len: float, k1: float = K1_DEFAULT,
+                             b: float = B_DEFAULT) -> DataFrame:
+    """Exact scoring against a tf table that carries doc_len INLINE
+    (``term_frequencies_with_doclen`` output, materialized by build_index) —
+    no dstats join and no term_stats join: the query side arrives with idf
+    already attached (driver-resolved), so the whole plan is one broadcast
+    hash join + one doc-grain aggregation, entirely in whole-stage codegen.
+    This is the JVM-only latency tier used by ``IndexReader(cache_tf=True)``.
+
+    qterms_weighted: (query_id, term, qweight, idf)."""
+    cand = tf_doclen.join(F.broadcast(qterms_weighted), "term")
+    cand = cand.withColumn("avgdl", F.lit(float(avg_doc_len)))
+    contrib = (bm25_contribution(k1, b) * F.col("qweight")).alias("contrib")
+    return (
+        cand.select("query_id", "doc_id", contrib)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+
+
 def topk_single(scores: DataFrame, k: int) -> DataFrame:
     """Global top-k under the tie-break protocol → TakeOrderedAndProject."""
     return (

@@ -491,3 +491,29 @@ def test_knn_batch_tie_break_prefers_low_id(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = knn_batch_pandas(spark, emb, {0: base}, k=1).collect()
     assert len(got) == 1 and got[0]["vec_id"] == 2
+
+
+# ---------------------------------------------------------------------------
+# JVM-only exact latency tier (IndexReader cache_tf + mode="exact")
+# ---------------------------------------------------------------------------
+
+def test_exact_cached_tier_rank_identical(spark, extracted_1k, tmp_path):
+    """search(mode='exact') over the term-sorted tf cache must be
+    rank-identical (doc ids AND round-9 scores) to the block-max pruned
+    path — triangulating the codegen scorer against the Python scorer."""
+    from fixtures.gen_corpus import all_queries
+    from hybrid_search_engine_spark.build.manifest import IndexReader, build_index
+    from hybrid_search_engine_spark.sources.pages import pages_to_docs
+
+    docs = pages_to_docs(extracted_1k, extract=False)
+    idx = str(tmp_path / "idx")
+    build_index(spark, docs, idx, n_shards=4, block_size=32)
+    reader = IndexReader(spark, idx, cache_postings=False, cache_tf=True)
+
+    for q in all_queries()[:20] + ["zz_completely_oov"]:
+        exact = [(r["doc_id"], round(r["score"], 9))
+                 for r in reader.search(q, k=10, mode="exact").collect()]
+        pruned = [(r["doc_id"], round(r["score"], 9))
+                  for r in reader.search(q, k=10, mode="pruned").collect()]
+        assert exact == pruned, f"tier mismatch for {q!r}"
+    reader.tf.unpersist()
