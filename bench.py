@@ -50,10 +50,12 @@ def main() -> None:
     idx_dir = os.path.join(tempfile.mkdtemp(prefix="bench_idx_"), "idx")
     timed("index_build", lambda: build_index(
         spark, docs, idx_dir, n_shards=min(CPUS, 32)))
-    reader = IndexReader(spark, idx_dir, cache_postings=True)
+    reader = IndexReader(spark, idx_dir, cache_postings=True, cache_tf=True)
 
     timed("bm25_query_pruned", lambda: reader.search(
         contract.FLAGSHIP_QUERY, k=10).collect())
+    timed("bm25_query_exact_cached", lambda: reader.search(
+        contract.FLAGSHIP_QUERY, k=10, mode="exact").collect())
     timed("bm25_query_exact_path", lambda: contract.q_bm25_topk(
         spark, SF_DIR).collect())
 
