@@ -237,23 +237,105 @@ def _ratio_sql(words):
             f" / len({TOK_ALL}) ELSE 0.0 END")
 
 
-SQL_LANG_DETECT = f"""
-WITH r AS (
-  SELECT doc_id, lang AS lang_given,
-         {_ratio_sql(LANG_FUNCTION_WORDS['en'])} AS s_en,
-         {_ratio_sql(LANG_FUNCTION_WORDS['de'])} AS s_de,
-         {_ratio_sql(LANG_FUNCTION_WORDS['fr'])} AS s_fr,
-         {_ratio_sql(LANG_FUNCTION_WORDS['es'])} AS s_es
-  FROM documents
+def _sql_lang_detect(src: str = "documents", include_given: bool = True
+                     ) -> str:
+    """Generated from the SAME dicts as the Spark implementation
+    (functions/analysis.py) so the two tiers cannot drift: latin tier =
+    earliest language attaining the max hit ratio (> 0.02 floor), script
+    tier = earliest SCRIPT_LANG entry attaining the max per-char count,
+    active when non-latin chars outnumber latin; han+kana → ja.
+
+    ``src``: FROM-clause source (a table name or CTE) with
+    (doc_id, text[, lang]) columns."""
+    from .functions.analysis import LANG_SCRIPT_RANGES, SCRIPT_LANG
+
+    score_cols = ",\n         ".join(
+        f"{_ratio_sql(ws)} AS s_{lang}"
+        for lang, ws in LANG_FUNCTION_WORDS.items())
+    count_cols = ",\n         ".join(
+        f"len(regexp_extract_all(coalesce(text,''), '{pat}')) AS c_{name}"
+        for name, pat in LANG_SCRIPT_RANGES.items())
+    mx = "greatest(" + ", ".join(f"s_{l}" for l in LANG_FUNCTION_WORDS) + ")"
+    nmx = "greatest(" + ", ".join(f"c_{s}" for s in SCRIPT_LANG) + ")"
+    latin_case = ("CASE WHEN mx <= 0.02 THEN 'und' "
+                  + " ".join(f"WHEN s_{l} = mx THEN '{l}'"
+                             for l in LANG_FUNCTION_WORDS) + " END")
+    script_case = ("CASE " + " ".join(f"WHEN c_{s} = nmx THEN '{c}'"
+                                      for s, c in SCRIPT_LANG.items())
+                   + " END")
+    given = "lang AS lang_given," if include_given else ""
+    given_out = "lang_given," if include_given else ""
+    return f"""
+r AS (
+  SELECT doc_id, {given}
+         {score_cols},
+         {count_cols}
+  FROM {src}
+),
+m AS (
+  SELECT *, {mx} AS mx, {nmx} AS nmx FROM r
+),
+p AS (
+  SELECT *, {latin_case} AS latin_pick, {script_case} AS script_pick0 FROM m
 )
-SELECT doc_id, lang_given,
-       CASE WHEN s_es > greatest(0.02, s_en, s_de, s_fr) THEN 'es'
-            WHEN s_fr > greatest(0.02, s_en, s_de) THEN 'fr'
-            WHEN s_de > greatest(0.02, s_en) THEN 'de'
-            WHEN s_en > 0.02 THEN 'en'
-            ELSE 'und' END AS lang_detected
-FROM r
+SELECT doc_id, {given_out}
+       CASE WHEN nmx > c_latin THEN
+         CASE WHEN script_pick0 = 'zh' AND c_kana > 0 THEN 'ja'
+              ELSE script_pick0 END
+       ELSE latin_pick END AS lang_detected
+FROM p
 """
+
+
+SQL_LANG_DETECT = "WITH " + _sql_lang_detect()
+
+
+# 16 fixed phrases, one per supported language — the multilingual surface
+# of detect_language (both tiers), synthesized deterministically per doc_id
+# so the contract needs no external data. Keep SQL-literal-safe (no ').
+LANG_PHRASES = [
+    ("en", "the quick brown fox jumps over the lazy dog and runs away with it"),
+    ("de", "der hund und die katze sind nicht mit dem mann im haus"),
+    ("fr", "le chien et le chat ne sont pas avec il dans la maison"),
+    ("es", "el perro y el gato no son con los que se van en la casa"),
+    ("it", "il cane è non sono una bestia ma anche questo gatto che corre"),
+    ("pt", "o cachorro não é um gato mas você também já viu isso em casa"),
+    ("nl", "de hond en de kat zijn niet met het kind bij dit huis"),
+    ("ru", "собака и кошка не находятся в доме с человеком"),
+    ("zh", "狗和猫不在房子里和人在一起"),
+    ("ja", "犬と猫は家の中で人と一緒にいません"),
+    ("ko", "개와 고양이는 집에서 사람과 함께 있지 않습니다"),
+    ("ar", "الكلب والقط ليسا في المنزل مع الرجل"),
+    ("hi", "कुत्ता और बिल्ली घर में आदमी के साथ नहीं हैं"),
+    ("el", "ο σκύλος και η γάτα δεν είναι στο σπίτι με τον άνθρωπο"),
+    ("he", "הכלב והחתול אינם בבית עם האיש"),
+    ("th", "สุนัขและแมวไม่ได้อยู่ในบ้านกับผู้ชาย"),
+]
+
+
+def q_lang_detect_wide(spark, sf_dir):
+    """U6 wide surface: detect over all 16 supported languages. Text is
+    synthesized per doc_id from LANG_PHRASES (doc_id % 16) with a doc_id
+    suffix so the latin tier still sees realistic token mixes; the oracle
+    recomputes detection independently in DuckDB from the same literals."""
+    d = _docs(spark, sf_dir)
+    phrase = F.element_at(F.array(*[F.lit(p) for _, p in LANG_PHRASES]),
+                          (F.pmod(F.col("doc_id"), F.lit(16)) + 1).cast("int"))
+    synth = d.select("doc_id",
+                     F.concat(phrase, F.lit(" case "),
+                              F.col("doc_id").cast("string")).alias("text"))
+    return synth.select("doc_id", detect_language("text").alias("lang_detected"))
+
+
+def _sql_lang_detect_wide():
+    case = ("CASE CAST(doc_id % 16 AS INT) "
+            + " ".join(f"WHEN {i} THEN '{p}'"
+                       for i, (_, p) in enumerate(LANG_PHRASES))
+            + " END")
+    synth = (f"synth AS (SELECT doc_id, {case} || ' case ' || "
+             f"CAST(doc_id AS VARCHAR) AS text FROM documents)")
+    return ("WITH " + synth + ",\n"
+            + _sql_lang_detect(src="synth", include_given=False))
 
 
 def q_quality(spark, sf_dir):
@@ -915,6 +997,89 @@ FROM sel5
 
 
 # ---------------------------------------------------------------------------
+# autocomplete (A9/T7, reference autocomplete.py:46-66,139-165): frequency
+# aggregation over a query log + prefix top-n. The log is synthesized from
+# each document's first-2-token phrase, so the contract is self-contained.
+# ---------------------------------------------------------------------------
+
+def q_autocomplete(spark, sf_dir):
+    from .operators.textproc import record_queries, suggest
+
+    d = _docs(spark, sf_dir)
+    toks = F.expr(
+        "regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9_]+', 0)")
+    log = d.select(
+        F.array_join(F.slice(toks, 1, 2), " ").alias("query_text"))
+    return suggest(record_queries(log), "s", n=10)
+
+
+SQL_AUTOCOMPLETE = f"""
+WITH src AS (
+  SELECT lower(trim(array_to_string(({TOK_ALL})[1:2], ' '))) AS query_text
+  FROM documents
+),
+agg AS (
+  SELECT query_text, CAST(count(*) AS BIGINT) AS frequency
+  FROM src WHERE query_text <> '' GROUP BY query_text
+)
+SELECT query_text, frequency FROM agg
+WHERE query_text LIKE 's%'
+ORDER BY frequency DESC, query_text ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# best chunk per parent doc (W2, reference pipelines.py:166-183): sentence
+# chunks scored by flagship-term hits, window keeps the best chunk per doc
+# (score DESC, chunk_id ASC tie-break).
+# ---------------------------------------------------------------------------
+
+def q_best_chunk(spark, sf_dir):
+    from .operators.textproc import best_chunk_per_doc, chunk_documents
+
+    chunks = chunk_documents(_docs(spark, sf_dir), mode="sentence")
+    terms = F.array(*[F.lit(t) for t in FLAGSHIP_TERMS])
+    ctoks = F.expr(
+        "regexp_extract_all(lower(coalesce(chunk_text,'')), '[a-z0-9_]+', 0)")
+    scored = chunks.withColumn(
+        "score",
+        F.size(F.filter(ctoks, lambda t: F.array_contains(terms, t))))
+    return (best_chunk_per_doc(scored)
+            .select("doc_id", "chunk_id", "chunk_text", "score"))
+
+
+_BC_TERMS = "[" + ",".join(f"'{t}'" for t in FLAGSHIP_TERMS) + "]"
+
+SQL_BEST_CHUNK = f"""
+WITH l AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           regexp_replace(coalesce(text,''), '([.!?])\\s+', '\\1' || chr(1), 'g'),
+           chr(1)), x -> trim(x) <> '') AS parts
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(parts, 1) - 1 AS INTEGER) AS chunk_id,
+         unnest(parts) AS chunk_text
+  FROM l
+),
+s AS (
+  SELECT doc_id, chunk_id, chunk_text,
+         CAST(len(list_filter(
+           regexp_extract_all(lower(coalesce(chunk_text,'')), '[a-z0-9_]+'),
+           t -> list_contains({_BC_TERMS}, t))) AS INTEGER) AS score
+  FROM c
+)
+SELECT doc_id, chunk_id, chunk_text, score
+FROM s
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, chunk_id ASC) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -926,6 +1091,9 @@ QUERIES_EXT = {
     "knn_batch": q_knn_batch,
     "embedding_near_pairs": q_embedding_near_pairs,
     "lang_detect": q_lang_detect,
+    "lang_detect_wide": q_lang_detect_wide,
+    "autocomplete": q_autocomplete,
+    "best_chunk": q_best_chunk,
     "quality": q_quality,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
@@ -955,6 +1123,9 @@ def _oracles_ext():
         "knn_batch": SQL_KNN_BATCH,
         "embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,
         "lang_detect": SQL_LANG_DETECT,
+        "lang_detect_wide": _sql_lang_detect_wide(),
+        "autocomplete": SQL_AUTOCOMPLETE,
+        "best_chunk": SQL_BEST_CHUNK,
         "quality": SQL_QUALITY,
         "token_counts": SQL_TOKEN_COUNTS,
         "fingerprint": SQL_FINGERPRINT,

@@ -20,8 +20,10 @@ from pyspark.sql import functions as F
 from ..reference_semantics import STOPWORDS
 from .text import tokens_native
 
-# Function-word lists for the language-ID heuristic. English list = the
-# reference stopword set; others are standard closed-class words.
+# Function-word lists for the latin-script language-ID heuristic. English
+# list = the reference stopword set; others are standard closed-class words.
+# Dict ORDER is the argmax tie-break (earliest wins) — the SQL oracle is
+# generated from this same dict, so keep insertion order stable.
 LANG_FUNCTION_WORDS = {
     "en": sorted(STOPWORDS),
     "de": ("der die das und oder aber ein eine einer nicht ist sind war mit "
@@ -30,6 +32,46 @@ LANG_FUNCTION_WORDS = {
            "du au aux pour sur dans il elle nous vous ils je tu ce cette".split()),
     "es": ("el la los las un una unos y o pero no es son era con de del al "
            "para en por que se su ellos nosotros yo tú usted esta este".split()),
+    "it": ("il lo la gli le che di non è sono era una uno per con ma come "
+           "più questo questa nel della delle degli anche questi sia "
+           "loro noi io tu perché quando molto".split()),
+    "pt": ("o os um uma uns umas não é são foi com para por mas como mais "
+           "este esta isso em do da dos das você eles nós eu também já "
+           "muito quando porque".split()),
+    "nl": ("de het een en van niet is zijn was met voor op aan bij dat "
+           "deze ook maar naar om uit er hij zij wij jullie ik je dit "
+           "worden wordt hebben heeft".split()),
+}
+
+# Non-latin scripts map directly to a language code (the reference wraps
+# langdetect, language.py:66-138; for single-script languages the script IS
+# the decision). Japanese is the mixed-script case: any kana presence
+# alongside han → ja, pure han → zh.
+SCRIPT_LANG = {
+    "cyrillic": "ru",
+    "han": "zh",
+    "kana": "ja",
+    "hangul": "ko",
+    "arabic": "ar",
+    "devanagari": "hi",
+    "greek": "el",
+    "hebrew": "he",
+    "thai": "th",
+}
+
+# Single-char classes (literal unicode range endpoints — valid in both java
+# regex and DuckDB's RE2, so the oracle can count with the same patterns).
+LANG_SCRIPT_RANGES = {
+    "latin": "[A-Za-zÀ-ɏ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "han": "[一-鿿]",
+    "kana": "[぀-ヿ]",
+    "hangul": "[가-힣ᄀ-ᇿ]",
+    "arabic": "[؀-ۿ]",
+    "devanagari": "[ऀ-ॿ]",
+    "greek": "[Ͱ-Ͽ]",
+    "hebrew": "[֐-׿]",
+    "thai": "[฀-๿]",
 }
 
 
@@ -51,18 +93,43 @@ def lang_scores(text_col) -> list[Column]:
 
 
 def detect_language(text_col) -> Column:
-    """argmax over per-language function-word hit ratios; 'und' (undetermined)
-    when no language scores above a floor."""
-    toks = tokens_native(text_col, remove_stopwords=False)
-    scores = [(lang, _hit_ratio(toks, ws))
-              for lang, ws in LANG_FUNCTION_WORDS.items()]
+    """Two-tier language ID, all native expressions (reference semantics
+    model: language.py:66-138 wraps langdetect; this covers the 16 most
+    common web languages deterministically):
+
+    1. script tier — per-char counts for 9 non-latin scripts; if the best
+       non-latin script outnumbers latin letters, map script → language
+       (``SCRIPT_LANG``; han with any kana present → ja).
+    2. latin tier — argmax over per-language function-word hit ratios
+       (``LANG_FUNCTION_WORDS``, dict order breaks ties, earliest wins);
+       'und' (undetermined) when nothing scores above the 0.02 floor.
+    """
+    c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col,
+                   F.lit(""))
+    n = {name: F.regexp_count(c, F.lit(pat))
+         for name, pat in LANG_SCRIPT_RANGES.items()}
+
+    # latin tier (computed first; used as the fallthrough)
+    toks = tokens_native(c, remove_stopwords=False)
     best = F.lit("und")
     best_score = F.lit(0.02)  # floor
-    for lang, sc in scores:
+    for lang, ws in LANG_FUNCTION_WORDS.items():
+        sc = _hit_ratio(toks, ws)
         cond = sc > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, sc).otherwise(best_score)
-    return best
+
+    # script tier: earliest SCRIPT_LANG entry with the maximal non-latin
+    # count wins, if it beats the latin count
+    nonlatin_max = F.greatest(*[n[s] for s in SCRIPT_LANG])
+    script_pick = F.lit("und")
+    for s in reversed(list(SCRIPT_LANG)):
+        script_pick = F.when(n[s] == nonlatin_max,
+                             F.lit(SCRIPT_LANG[s])).otherwise(script_pick)
+    # mixed-script Japanese: han-dominant but kana present → ja
+    script_pick = F.when((script_pick == "zh") & (n["kana"] > 0),
+                         F.lit("ja")).otherwise(script_pick)
+    return F.when(nonlatin_max > n["latin"], script_pick).otherwise(best)
 
 
 def quality_columns(text_col) -> list[Column]:

@@ -95,6 +95,29 @@ def test_detect_language(spark):
     assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
 
 
+def test_detect_language_wide(spark):
+    """U6 wide tier: latin function-word argmax (7 langs) + script tier
+    (9 non-latin scripts, han+kana → ja)."""
+    from hybrid_search_engine_spark.contract_ext import LANG_PHRASES
+    from hybrid_search_engine_spark.functions.analysis import detect_language
+
+    df = spark.createDataFrame(
+        [(i, lang, phrase) for i, (lang, phrase) in enumerate(LANG_PHRASES)],
+        "id int, expected string, text string")
+    rows = df.select("id", "expected",
+                     detect_language("text").alias("lang")).collect()
+    assert all(r["lang"] == r["expected"] for r in rows), [
+        (r["id"], r["expected"], r["lang"]) for r in rows
+        if r["lang"] != r["expected"]]
+    # pure-han chinese vs han+kana japanese disambiguation
+    mixed = spark.createDataFrame(
+        [(0, "日本語のテキストです"), (1, "中文文本没有假名")],
+        "id int, text string")
+    got = {r["id"]: r["l"] for r in
+           mixed.select("id", detect_language("text").alias("l")).collect()}
+    assert got == {0: "ja", 1: "zh"}
+
+
 def test_quality_columns(spark):
     from hybrid_search_engine_spark.functions.analysis import quality_columns
 

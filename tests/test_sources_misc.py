@@ -50,7 +50,13 @@ def test_partial_ratio_and_lexical_scores(spark):
     assert partial_ratio("abc", "abc") == 100.0
     assert partial_ratio("abc", "zzabczz") == 100.0  # window match
     assert partial_ratio("", "x") == 0.0
-    assert 0 < partial_ratio("machine", "mach1ne learning") < 100
+    assert partial_ratio("", "") == 100.0
+    # rapidfuzz definition: best InDel ratio over windows. LCS("machine",
+    # "mach ne" window) = 6 → 100·2·6/(7+7) = 85.714286 exactly.
+    assert partial_ratio("machine", "mach1ne learning") == 85.714286
+    # edge-overlap alignment: "lo" hanging off the start beats any
+    # full-length window (ratio("hello","lo") = 2·2/7 = 57.14 vs ≤ 40)
+    assert partial_ratio("hello", "lo world") == round(400 / 7, 6)
 
     df = spark.createDataFrame(
         [(1, "machine learning models"), (2, "totally unrelated xyz")],
@@ -59,6 +65,41 @@ def test_partial_ratio_and_lexical_scores(spark):
            for r in lexical_fuzzy_scores(df, "machine learning").collect()}
     assert got[1] > got[2]
     assert got[1] > 0.9  # exact token overlap + full fuzzy window
+
+
+def test_partial_ratio_matches_dp_oracle():
+    """Bit-parallel LCS scan == quadratic-DP brute force on random pairs."""
+    import random
+
+    from hybrid_search_engine_spark.operators.fuzzy import partial_ratio
+
+    def lcs_dp(a, b):
+        dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                dp[i][j] = (dp[i - 1][j - 1] + 1 if a[i - 1] == b[j - 1]
+                            else max(dp[i - 1][j], dp[i][j - 1]))
+        return dp[len(a)][len(b)]
+
+    def pr_brute(a, b):
+        if not a and not b:
+            return 100.0
+        if not a or not b:
+            return 0.0
+        short, long_ = (a, b) if len(a) <= len(b) else (b, a)
+        m, n = len(short), len(long_)
+        best = 0.0
+        for i in range(-(m - 1), n):
+            w = long_[max(0, i):min(n, i + m)]
+            best = max(best, 200.0 * lcs_dp(short, w) / (m + len(w)))
+        return round(best, 6)
+
+    rng = random.Random(42)
+    alpha = "abcx "
+    for _ in range(500):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 8)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 20)))
+        assert partial_ratio(a, b) == pr_brute(a, b), (a, b)
 
 
 def test_detect_script(spark):
