@@ -1080,6 +1080,51 @@ QUALIFY row_number() OVER (PARTITION BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# test set from feedback (A8, reference evaluation.py:269-297): group
+# relevant judgments (score >= 3 OR clicked) by query text. Feedback is
+# synthesized deterministically from doc_ids; the id list is sorted and
+# joined to a string so the hash compare sees a scalar column.
+# ---------------------------------------------------------------------------
+
+def q_feedback_sets(spark, sf_dir):
+    from .operators.fusion import test_set_from_feedback
+
+    d = _docs(spark, sf_dir)
+    toks = F.expr(
+        "regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9_]+', 0)")
+    src = d.select("doc_id",
+                   F.array_join(F.slice(toks, 1, 2), " ").alias("query_text"))
+    qh = src.select(F.col("doc_id").alias("query_id"), "query_text")
+    fb = src.select(
+        F.col("doc_id").alias("query_id"),
+        F.pmod(F.col("doc_id") * 13, F.lit(500)).alias("doc_id"),
+        F.pmod(F.col("doc_id"), F.lit(6)).cast("int").alias("relevance_score"),
+        (F.pmod(F.col("doc_id"), F.lit(4)) == 0).alias("clicked"))
+    ts = test_set_from_feedback(qh, fb, min_relevant=1)
+    return ts.select(
+        "query_text",
+        F.array_join(F.array_sort("relevant_doc_ids").cast("array<string>"),
+                     ",").alias("rel_ids"),
+        "n_judgments")
+
+
+SQL_FEEDBACK_SETS = f"""
+WITH src AS (
+  SELECT doc_id, array_to_string(({TOK_ALL})[1:2], ' ') AS query_text,
+         (doc_id * 13) % 500 AS fdoc,
+         CAST(doc_id % 6 AS INT) AS score,
+         doc_id % 4 = 0 AS clicked
+  FROM documents
+),
+rel AS (SELECT * FROM src WHERE score >= 3 OR clicked)
+SELECT query_text,
+       array_to_string(list_sort(array_agg(fdoc)), ',') AS rel_ids,
+       CAST(count(*) AS BIGINT) AS n_judgments
+FROM rel GROUP BY query_text HAVING count(*) >= 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1094,6 +1139,7 @@ QUERIES_EXT = {
     "lang_detect_wide": q_lang_detect_wide,
     "autocomplete": q_autocomplete,
     "best_chunk": q_best_chunk,
+    "feedback_sets": q_feedback_sets,
     "quality": q_quality,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
@@ -1126,6 +1172,7 @@ def _oracles_ext():
         "lang_detect_wide": _sql_lang_detect_wide(),
         "autocomplete": SQL_AUTOCOMPLETE,
         "best_chunk": SQL_BEST_CHUNK,
+        "feedback_sets": SQL_FEEDBACK_SETS,
         "quality": SQL_QUALITY,
         "token_counts": SQL_TOKEN_COUNTS,
         "fingerprint": SQL_FINGERPRINT,

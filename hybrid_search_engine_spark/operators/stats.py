@@ -166,18 +166,37 @@ def corpus_scalars(docs: DataFrame, text_col: str = "text",
 
 def build_statistics(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", remove_stopwords: bool = True,
-                     parity: bool = False, doc_count: int | None = None):
+                     parity: bool = False, doc_count: int | None = None,
+                     docs_per_partition: int = 8192):
     """One-pass build of (tf, doc_stats, term_stats, scalars).
+
+    Hot path (parity=False) uses ``term_frequencies_with_doclen``: ONE
+    doc-grain exchange sized to the DATA (P = max(defaultParallelism,
+    n_docs/docs_per_partition)), not to the session's shuffle-partition
+    default. That keeps the per-task aggregation map bounded at web scale
+    (the superlinearity fix — see term_frequencies_with_doclen) AND avoids
+    scheduling 4×cores near-empty tasks on toy inputs; doc_len rides the
+    same partitioning, so doc_stats adds no exchange at all.
 
     tf is cached across the downstream aggregations — at scale you'd
     persist it to a table (the posting builder re-reads it anyway).
     ``doc_count`` skips the separate count job when the caller already
     knows N (e.g. from the fused fingerprint aggregate in build_index).
     """
-    tf = term_frequencies(docs, text_col, id_col, remove_stopwords, parity).cache()
-    dstats = doc_stats_from_tf(tf)
     if doc_count is None:
         doc_count = docs.select(id_col).count()
+    if parity:
+        tf = term_frequencies(docs, text_col, id_col, remove_stopwords,
+                              parity).cache()
+        dstats = doc_stats_from_tf(tf)
+    else:
+        p = max(docs.sparkSession.sparkContext.defaultParallelism,
+                -(-doc_count // docs_per_partition))
+        tfdl = term_frequencies_with_doclen(
+            docs, text_col, id_col, remove_stopwords, n_partitions=p).cache()
+        tf = tfdl.drop("doc_len")
+        # doc_id-clustered cache → dropDuplicates needs no exchange
+        dstats = tfdl.select("doc_id", "doc_len").dropDuplicates(["doc_id"])
     total = dstats.agg(F.sum("doc_len")).first()[0] or 0
     scalars = CorpusScalars(
         doc_count=doc_count,
