@@ -1080,6 +1080,47 @@ QUALIFY row_number() OVER (PARTITION BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# unicode-script detection (F15, reference semantics model language.py:
+# 140-168): per-char range counts, argmax. Text synthesized per doc_id from
+# LANG_PHRASES so every script range is exercised; the oracle recomputes the
+# counts in DuckDB with the same literal ranges (RE2 accepts them too).
+# ---------------------------------------------------------------------------
+
+def q_script_detect(spark, sf_dir):
+    from .functions.analysis import detect_script
+
+    d = _docs(spark, sf_dir)
+    phrase = F.element_at(F.array(*[F.lit(p) for _, p in LANG_PHRASES]),
+                          (F.pmod(F.col("doc_id"), F.lit(16)) + 1).cast("int"))
+    synth = d.select("doc_id", phrase.alias("text"))
+    return synth.select("doc_id", detect_script("text").alias("script"))
+
+
+def _sql_script_detect():
+    from .functions.analysis import SCRIPT_RANGES
+
+    case = ("CASE CAST(doc_id % 16 AS INT) "
+            + " ".join(f"WHEN {i} THEN '{p}'"
+                       for i, (_, p) in enumerate(LANG_PHRASES))
+            + " END")
+    counts = ",\n         ".join(
+        f"len(regexp_extract_all(coalesce(text,''), '{pat}')) AS c_{name}"
+        for name, pat in SCRIPT_RANGES.items())
+    mx = "greatest(" + ", ".join(f"c_{n}" for n in SCRIPT_RANGES) + ")"
+    # earliest dict entry attaining the (nonzero) max — mirrors the Spark
+    # strict-> scan in detect_script
+    pick = ("CASE WHEN mx = 0 THEN 'unknown' "
+            + " ".join(f"WHEN c_{n} = mx THEN '{n}'" for n in SCRIPT_RANGES)
+            + " END")
+    return f"""
+WITH synth AS (SELECT doc_id, {case} AS text FROM documents),
+r AS (SELECT doc_id, {counts} FROM synth),
+m AS (SELECT *, {mx} AS mx FROM r)
+SELECT doc_id, {pick} AS script FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
 # test set from feedback (A8, reference evaluation.py:269-297): group
 # relevant judgments (score >= 3 OR clicked) by query text. Feedback is
 # synthesized deterministically from doc_ids; the id list is sorted and
@@ -1140,6 +1181,7 @@ QUERIES_EXT = {
     "autocomplete": q_autocomplete,
     "best_chunk": q_best_chunk,
     "feedback_sets": q_feedback_sets,
+    "script_detect": q_script_detect,
     "quality": q_quality,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
@@ -1173,6 +1215,7 @@ def _oracles_ext():
         "autocomplete": SQL_AUTOCOMPLETE,
         "best_chunk": SQL_BEST_CHUNK,
         "feedback_sets": SQL_FEEDBACK_SETS,
+        "script_detect": _sql_script_detect(),
         "quality": SQL_QUALITY,
         "token_counts": SQL_TOKEN_COUNTS,
         "fingerprint": SQL_FINGERPRINT,
