@@ -2,11 +2,12 @@
 
 Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct. The Spark-side plumbing — schema, partition sizing, Arrow batch
-shape, UDF signatures — is real and tested; the actual decoders are STUBS
-(this container has no image/audio libraries): `decode_image` raises
-NotImplementedError unless ``deterministic_fake=True``, which produces a
-seeded fake feature vector derived from the payload hash so the pipeline
-shape is exercisable end-to-end.
+shape, UDF signatures — is real and tested. ``decode_image`` is
+dependency-guarded: with PIL installed it really decodes (grayscale-resize
+feature), without it the ``deterministic_fake=True`` path produces a seeded
+feature vector derived from the payload sha256 (replayable in SQL — the
+contract oracle checks it) and the non-fake path raises NotImplementedError
+so failures are honest ``decode_ok=False`` rows.
 
 At 100 TB: binary payloads dominate row size, so
 ``spark.sql.files.maxPartitionBytes`` (not row counts) governs scan
@@ -61,16 +62,40 @@ def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
                     dtype=np.float32)
 
 
+def _pil_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real decoder (used only when PIL is importable): decode → grayscale
+    → resize to √dim×√dim → [−0.5, 0.5] floats. Deterministic for a given
+    payload; per-executor import cost is paid once per python worker."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    side = max(int(dim ** 0.5), 1)
+    img = Image.open(BytesIO(payload)).convert("L").resize(
+        (side, side), resample=Image.BILINEAR)
+    arr = np.asarray(img, dtype=np.float32) / 255.0 - 0.5
+    flat = arr.reshape(-1)
+    if flat.size < dim:
+        flat = np.pad(flat, (0, dim - flat.size))
+    return flat[:dim]
+
+
 def decode_image(payload: bytes, deterministic_fake: bool = False) -> np.ndarray:
-    """STUB — no image libs in this environment. Real implementation:
-    PIL/turbojpeg decode → resize → normalized CHW float array."""
+    """Image → feature vector. Dependency-guarded: uses PIL when installed
+    (decode → grayscale-resize → normalized floats); without PIL, either the
+    deterministic fake (CI/oracle path — sha256-nibble features replayable
+    in SQL) or NotImplementedError so callers see an honest decode_ok=False
+    rather than silent garbage."""
     if payload is None:
         raise ValueError("NULL payload")
     if deterministic_fake:
         return _fake_feature(payload)
-    raise NotImplementedError(
-        "image decoding requires PIL/libjpeg — not available here; "
-        "pass deterministic_fake=True to exercise the pipeline shape")
+    try:
+        return _pil_feature(payload)
+    except ImportError:
+        raise NotImplementedError(
+            "image decoding requires PIL/libjpeg — not installed; "
+            "pass deterministic_fake=True to exercise the pipeline shape")
 
 
 def extract_features(media: DataFrame, batch_rows: int = 64,

@@ -324,6 +324,41 @@ def test_fake_feature_matches_sha256_nibbles():
         assert float(f[i]) == int(h[i], 16) / 16.0 - 0.5
 
 
+def test_decode_image_stub_without_pil():
+    """Without PIL, non-fake decode must raise NotImplementedError (honest
+    decode_ok=False downstream), never return garbage."""
+    import pytest
+
+    from hybrid_search_engine_spark.operators.multimodal import decode_image
+
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL installed — stub path not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG fake", deterministic_fake=False)
+
+
+def test_decode_image_real_with_pil():
+    """With PIL installed, decode_image produces a real 64-dim grayscale
+    feature from a generated PNG (skips where PIL is absent)."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    from io import BytesIO
+
+    from PIL import Image
+
+    from hybrid_search_engine_spark.operators.multimodal import decode_image
+
+    buf = BytesIO()
+    Image.new("RGB", (32, 32), (128, 64, 32)).save(buf, format="PNG")
+    f = decode_image(buf.getvalue(), deterministic_fake=False)
+    assert f.shape == (64,)
+    assert (f >= -0.5).all() and (f <= 0.5).all()
+
+
 # ---------------------------------------------------------------------------
 # multi-position snippet extraction with overlap suppression (SO5)
 # ---------------------------------------------------------------------------
