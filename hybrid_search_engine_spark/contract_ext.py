@@ -1080,6 +1080,104 @@ QUALIFY row_number() OVER (PARTITION BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# multi-position snippets with overlap suppression (SO5, reference
+# highlighter.py:68-145): per doc, the 3 earliest query-term positions at
+# least snippet_length apart, each sliced ±len/2, word-boundary adjusted
+# (±20 chars to a space), ellipsized and <mark>-highlighted. The greedy
+# accept depends only on the LAST accepted position (positions scan
+# ascending), and the cap is 3 — so the oracle unrolls it into three
+# chained min() CTEs (same technique as the MMR oracle); candidate
+# positions come from an index×term join with word-boundary checks.
+# ---------------------------------------------------------------------------
+
+def q_snippets(spark, sf_dir):
+    from .operators.textproc import extract_snippets
+
+    d = _docs(spark, sf_dir)
+    out = extract_snippets(d, FLAGSHIP_QUERY, snippet_length=150,
+                           max_snippets=3)
+    return out.select("doc_id",
+                      F.array_join("snippets", "\x1f").alias("snippets"))
+
+
+def _sql_snippets(snippet_length: int = 150) -> str:
+    from .reference_semantics import tokenize
+
+    tokens = sorted(set(tokenize(FLAGSHIP_QUERY.lower())))
+    terms_list = "[" + ",".join(f"'{t}'" for t in tokens) + "]"
+    mark_pat = "(?i)\\b(" + "|".join(tokens) + ")\\b"
+    L, H = snippet_length, snippet_length // 2
+    return f"""
+WITH d AS (SELECT doc_id, coalesce(text,'') AS text,
+                  lower(coalesce(text,'')) AS low FROM documents),
+ii AS (SELECT doc_id, low,
+              unnest(range(1, CAST(length(low) AS BIGINT) + 1)) AS i FROM d),
+tt AS (SELECT unnest({terms_list}) AS term),
+pos AS (
+  SELECT ii.doc_id, CAST(ii.i - 1 AS BIGINT) AS p
+  FROM ii JOIN tt ON substr(ii.low, CAST(ii.i AS INT), length(tt.term)) = tt.term
+  WHERE (ii.i = 1 OR NOT regexp_matches(
+           substr(ii.low, CAST(ii.i AS INT) - 1, 1), '[a-z0-9_]'))
+    AND (ii.i - 1 + length(tt.term) = length(ii.low)
+         OR NOT regexp_matches(
+              substr(ii.low, CAST(ii.i + length(tt.term) AS INT), 1),
+              '[a-z0-9_]'))
+),
+s1 AS (SELECT doc_id, min(p) AS p FROM pos GROUP BY doc_id),
+s2 AS (SELECT pos.doc_id, min(pos.p) AS p FROM pos JOIN s1 USING (doc_id)
+       WHERE pos.p >= s1.p + {L} GROUP BY pos.doc_id),
+s3 AS (SELECT pos.doc_id, min(pos.p) AS p FROM pos JOIN s2 USING (doc_id)
+       WHERE pos.p >= s2.p + {L} GROUP BY pos.doc_id),
+acc AS (
+  SELECT doc_id, p, 1 AS k FROM s1
+  UNION ALL SELECT doc_id, p, 2 FROM s2
+  UNION ALL SELECT doc_id, p, 3 FROM s3
+),
+win AS (
+  SELECT a.doc_id, a.k, d.text, length(d.text) AS n,
+         greatest(a.p - {H}, 0) AS start0,
+         least(length(d.text), a.p + {H}) AS end0
+  FROM acc a JOIN d USING (doc_id)
+),
+r1 AS (
+  SELECT *, strpos(reverse(substr(text, CAST(greatest(start0 - 20, 0) AS INT) + 1,
+                                  CAST(start0 - greatest(start0 - 20, 0) AS INT))),
+                   ' ') AS rsp,
+            strpos(substr(text, CAST(end0 AS INT) + 1,
+                          CAST(least(n, end0 + 20) - end0 AS INT)), ' ') AS fsp
+  FROM win
+),
+adj AS (
+  SELECT doc_id, k, text, n,
+    CASE WHEN start0 > 0 AND rsp > 0 AND start0 - rsp > 0
+         THEN start0 - rsp + 1 ELSE start0 END AS start1,
+    CASE WHEN end0 < n AND fsp > 0 AND end0 + fsp - 1 > 0
+         THEN end0 + fsp - 1 ELSE end0 END AS end1
+  FROM r1
+),
+snips AS (
+  SELECT doc_id, k,
+    regexp_replace(
+      (CASE WHEN start1 > 0 THEN '...' ELSE '' END)
+      || substr(text, CAST(start1 AS INT) + 1, CAST(end1 - start1 AS INT))
+      || (CASE WHEN end1 < n THEN '...' ELSE '' END),
+      '{mark_pat}', '<mark>\\1</mark>', 'g') AS snip
+  FROM adj
+),
+agg AS (
+  SELECT doc_id, string_agg(snip, chr(31) ORDER BY k) AS snippets
+  FROM snips GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(agg.snippets,
+                substr(d.text, 1, {L})
+                || CASE WHEN length(d.text) > {L} THEN '...' ELSE '' END
+               ) AS snippets
+FROM d LEFT JOIN agg USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # unicode-script detection (F15, reference semantics model language.py:
 # 140-168): per-char range counts, argmax. Text synthesized per doc_id from
 # LANG_PHRASES so every script range is exercised; the oracle recomputes the
@@ -1182,6 +1280,7 @@ QUERIES_EXT = {
     "best_chunk": q_best_chunk,
     "feedback_sets": q_feedback_sets,
     "script_detect": q_script_detect,
+    "snippets": q_snippets,
     "quality": q_quality,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
@@ -1216,6 +1315,7 @@ def _oracles_ext():
         "best_chunk": SQL_BEST_CHUNK,
         "feedback_sets": SQL_FEEDBACK_SETS,
         "script_detect": _sql_script_detect(),
+        "snippets": _sql_snippets(),
         "quality": SQL_QUALITY,
         "token_counts": SQL_TOKEN_COUNTS,
         "fingerprint": SQL_FINGERPRINT,
