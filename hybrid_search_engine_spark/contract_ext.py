@@ -1219,6 +1219,37 @@ SELECT doc_id, {pick} AS script FROM m
 
 
 # ---------------------------------------------------------------------------
+# dedup action policy (P7, reference deduplication.py:196-241 SKIP/MERGE/
+# FLAG): near-dup pairs → canonical map → flag columns on the docs table.
+# Pairs here come from the exact sha-256 groups so the row is deterministic.
+# ---------------------------------------------------------------------------
+
+def q_dedup_action(spark, sf_dir):
+    from .operators.dedup import apply_dedup_action, exact_duplicates
+
+    d = _docs(spark, sf_dir)
+    ex = exact_duplicates(d)
+    pairs = ex.where(F.col("is_duplicate")).select(
+        F.col("canonical_doc_id").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"))
+    out = apply_dedup_action(d.select("doc_id", "text"), pairs, action="flag")
+    return out.select("doc_id", "canonical_doc_id", "is_duplicate")
+
+
+SQL_DEDUP_ACTION = """
+WITH h AS (SELECT doc_id, sha256(coalesce(text,'')) AS ch FROM documents),
+g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY ch) AS canon FROM h),
+pairs AS (SELECT canon AS doc_a, doc_id AS doc_b FROM g WHERE doc_id <> canon),
+canonmap AS (SELECT doc_b AS doc_id, min(doc_a) AS canonical_doc_id
+             FROM pairs GROUP BY doc_b)
+SELECT d.doc_id,
+       coalesce(c.canonical_doc_id, d.doc_id) AS canonical_doc_id,
+       c.canonical_doc_id IS NOT NULL AS is_duplicate
+FROM documents d LEFT JOIN canonmap c USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # test set from feedback (A8, reference evaluation.py:269-297): group
 # relevant judgments (score >= 3 OR clicked) by query text. Feedback is
 # synthesized deterministically from doc_ids; the id list is sorted and
@@ -1281,6 +1312,7 @@ QUERIES_EXT = {
     "feedback_sets": q_feedback_sets,
     "script_detect": q_script_detect,
     "snippets": q_snippets,
+    "dedup_action": q_dedup_action,
     "quality": q_quality,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
@@ -1316,6 +1348,7 @@ def _oracles_ext():
         "feedback_sets": SQL_FEEDBACK_SETS,
         "script_detect": _sql_script_detect(),
         "snippets": _sql_snippets(),
+        "dedup_action": SQL_DEDUP_ACTION,
         "quality": SQL_QUALITY,
         "token_counts": SQL_TOKEN_COUNTS,
         "fingerprint": SQL_FINGERPRINT,
