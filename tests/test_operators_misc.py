@@ -76,6 +76,82 @@ def test_ann_lsh_recall(spark, emb):
     assert hits >= 6  # ≥40% recall@5 over 3 probes with 6 planes + multiprobe
 
 
+def test_ivf_full_probe_equals_brute(spark, emb):
+    """nprobe == n_lists makes IVF a partition of the corpus → exact."""
+    from hybrid_search_engine_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+        ivf_train_centroids,
+        knn_brute,
+    )
+
+    df, rows = emb
+    C = ivf_train_centroids(df, n_lists=8, sample_size=100)
+    idx = build_ivf_index(df, C).cache()
+    assert idx.count() == 100
+    # every vector lands in exactly one list; lists partition the corpus
+    assert idx.select("vec_id").distinct().count() == 100
+    for probe in (3, 17):
+        q = rows[probe][1]
+        exact = [(r["vec_id"], round(r["cosine"], 9))
+                 for r in knn_brute(df, q, k=5).collect()]
+        full = [(r["vec_id"], round(r["cosine"], 9))
+                for r in ivf_search(idx, C, q, k=5, nprobe=8).collect()]
+        assert full == exact
+
+
+def test_ivf_recall_and_determinism(spark, emb):
+    from hybrid_search_engine_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+        ivf_train_centroids,
+        knn_brute,
+    )
+
+    df, rows = emb
+    C = ivf_train_centroids(df, n_lists=8, sample_size=100)
+    C2 = ivf_train_centroids(df.repartition(7), n_lists=8, sample_size=100)
+    assert np.allclose(C, C2)  # stable across partitioning (hash-ordered sample)
+    idx = build_ivf_index(df, C).cache()
+    idx.count()
+    hits = 0
+    for probe in (5, 20, 40):
+        q = rows[probe][1]
+        exact = {r["vec_id"] for r in knn_brute(df, q, k=5).collect()}
+        approx = {r["vec_id"] for r in
+                  ivf_search(idx, C, q, k=5, nprobe=4).collect()}
+        hits += len(exact & approx)
+    assert hits >= 9  # ≥60% recall@5 probing half the lists
+
+
+def test_ivf_save_load_roundtrip(spark, emb, tmp_path):
+    from hybrid_search_engine_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+        ivf_train_centroids,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    df, rows = emb
+    C = ivf_train_centroids(df, n_lists=4, sample_size=100)
+    idx = build_ivf_index(df, C)
+    p = str(tmp_path / "ivf")
+    save_ivf_index(idx, C, p)
+    idx2, C2 = load_ivf_index(spark, p)
+    assert np.allclose(C, C2)
+    q = rows[9][1]
+    a = [(r["vec_id"], round(r["cosine"], 9))
+         for r in ivf_search(idx, C, q, k=5, nprobe=2).collect()]
+    b = [(r["vec_id"], round(r["cosine"], 9))
+         for r in ivf_search(idx2, C2, q, k=5, nprobe=2).collect()]
+    assert a == b
+    # probe reads only the probed list directories (partition pruning)
+    plan = idx2.where(F.col("list_id").isin([0, 1]))._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "PartitionFilters" in plan or "list_id" in plan
+
+
 # ---------------------------------------------------------------------------
 # analysis
 # ---------------------------------------------------------------------------
