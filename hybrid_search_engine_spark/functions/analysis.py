@@ -106,30 +106,47 @@ def detect_language(text_col) -> Column:
     """
     c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col,
                    F.lit(""))
-    n = {name: F.regexp_count(c, F.lit(pat))
-         for name, pat in LANG_SCRIPT_RANGES.items()}
-
-    # latin tier (computed first; used as the fallthrough)
     toks = tokens_native(c, remove_stopwords=False)
-    best = F.lit("und")
-    best_score = F.lit(0.02)  # floor
-    for lang, ws in LANG_FUNCTION_WORDS.items():
-        sc = _hit_ratio(toks, ws)
-        cond = sc > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, sc).otherwise(best_score)
 
-    # script tier: earliest SCRIPT_LANG entry with the maximal non-latin
-    # count wins, if it beats the latin count
-    nonlatin_max = F.greatest(*[n[s] for s in SCRIPT_LANG])
-    script_pick = F.lit("und")
-    for s in reversed(list(SCRIPT_LANG)):
-        script_pick = F.when(n[s] == nonlatin_max,
-                             F.lit(SCRIPT_LANG[s])).otherwise(script_pick)
-    # mixed-script Japanese: han-dominant but kana present → ja
-    script_pick = F.when((script_pick == "zh") & (n["kana"] > 0),
-                         F.lit("ja")).otherwise(script_pick)
-    return F.when(nonlatin_max > n["latin"], script_pick).otherwise(best)
+    # The per-language ratios and per-script counts are the expensive
+    # subexpressions. Evaluate each EXACTLY ONCE by packing them into two
+    # arrays and binding the pair through a single-element transform():
+    # inside the lambda every reference is a variable lookup, not a
+    # re-expansion of the underlying expression tree. (The previous
+    # accumulating when-chain embedded each prior best_score twice per
+    # language — a 2^n_langs expression blowup that took ~11 s for 500 rows
+    # in analysis + interpreted evaluation.)
+    script_names = list(LANG_SCRIPT_RANGES)  # index 0 = latin
+    assert script_names[1:] == list(SCRIPT_LANG)  # shared order = tie-break
+    scores = F.array(*[_hit_ratio(toks, ws)
+                       for ws in LANG_FUNCTION_WORDS.values()])
+    counts = F.array(*[F.regexp_count(c, F.lit(pat)).cast("int")
+                       for pat in LANG_SCRIPT_RANGES.values()])
+    lang_lit = F.array(*[F.lit(l) for l in LANG_FUNCTION_WORDS])
+    script_lit = F.array(*[F.lit(code) for code in SCRIPT_LANG.values()])
+    kana_pos = script_names.index("kana") + 1  # 1-based into counts
+
+    def pick(x):
+        s, cnt = x["s"], x["n"]
+        latin_n = F.element_at(cnt, 1)
+        nonlatin = F.slice(cnt, 2, len(script_names) - 1)
+        nl_max = F.array_max(nonlatin)
+        # latin tier: earliest argmax over the 0.02 floor (array_position
+        # returns the FIRST occurrence — same tie-break as the old loop)
+        mx = F.array_max(s)
+        latin_pick = F.when(mx <= F.lit(0.02), F.lit("und")).otherwise(
+            F.element_at(lang_lit, F.array_position(s, mx).cast("int")))
+        # script tier: earliest maximal non-latin script; han-dominant with
+        # any kana present → ja (mixed-script Japanese)
+        script0 = F.element_at(
+            script_lit, F.array_position(nonlatin, nl_max).cast("int"))
+        script_pick = F.when(
+            (script0 == "zh") & (F.element_at(cnt, kana_pos) > 0),
+            F.lit("ja")).otherwise(script0)
+        return F.when(nl_max > latin_n, script_pick).otherwise(latin_pick)
+
+    packed = F.array(F.struct(scores.alias("s"), counts.alias("n")))
+    return F.element_at(F.transform(packed, pick), 1)
 
 
 def quality_columns(text_col) -> list[Column]:
