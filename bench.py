@@ -86,6 +86,14 @@ def main() -> None:
         timed(name, lambda fn=fn: fn(spark, SF_DIR).write.format("noop").mode(
             "overwrite").save())
 
+    # --- training-data-pipeline operators (dedup / similarity / quality) ---
+    from hybrid_search_engine_spark import contract_ext
+
+    for name in ["minhash_sig", "knn_batch", "quality"]:
+        fn = contract_ext.QUERIES_EXT[name]
+        timed(name, lambda fn=fn: fn(spark, SF_DIR).write.format("noop").mode(
+            "overwrite").save())
+
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
