@@ -184,31 +184,23 @@ def decode_posting_blocks(block_rows):
             np.concatenate(dl_parts))
 
 
-def encode_runs(shard: np.ndarray, term: np.ndarray, doc: np.ndarray,
-                tf: np.ndarray, dl: np.ndarray, idf: np.ndarray,
-                avgdl: float, k1: float, b: float,
-                block_size: int = BLOCK_SIZE_DEFAULT):
-    """Vectorized block encoding of MANY posting runs at once.
+def _encode_runs_core(shard: np.ndarray, new_run: np.ndarray,
+                      doc: np.ndarray, tf: np.ndarray, dl: np.ndarray,
+                      idf: np.ndarray, avgdl: float, k1: float, b: float,
+                      block_size: int = BLOCK_SIZE_DEFAULT) -> dict:
+    """Term-agnostic numpy core of the block encoder: the caller supplies
+    the run-boundary mask (``new_run``) so run detection can happen without
+    materializing per-row Python strings (the Arrow path compares adjacent
+    term values in C++; the pandas path compares object arrays).
 
-    Input: columnar arrays sorted by (shard, term, doc). Produces one dict of
-    column arrays/lists for all blocks of all (shard, term) runs — a single
-    numpy pass regardless of how many runs the batch contains (the per-run
-    Python loop was the build bottleneck: ~180 µs/run × 10^5 runs/batch).
-    Only the final byte-slicing touches Python, one cheap slice per block.
-    """
-    import pandas as pd
-
+    Returns a dict of column arrays plus CONTIGUOUS varint buffers with
+    per-block offset arrays (``*_off`` of length n_blocks+1) — block i's
+    payload is ``buf[off[i]:off[i+1]]``, which is exactly the Arrow
+    BinaryArray layout, so the Arrow path wraps the buffers zero-copy."""
     n = doc.size
-    if n == 0:
-        return None
     doc = doc.astype(np.int64)
     tf64 = tf.astype(np.int64)
     dl64 = dl.astype(np.int64)
-
-    # run boundaries (shard or term changes)
-    new_run = np.empty(n, dtype=bool)
-    new_run[0] = True
-    new_run[1:] = (shard[1:] != shard[:-1]) | (term[1:] != term[:-1])
     run_id = np.cumsum(new_run) - 1
     run_start_pos = np.flatnonzero(new_run)
     pos_in_run = np.arange(n) - run_start_pos[run_id]
@@ -260,18 +252,61 @@ def encode_runs(shard: np.ndarray, term: np.ndarray, doc: np.ndarray,
     tf_b0, tf_b1 = tf_cum[starts], tf_cum[ends]
     dl_b0, dl_b1 = dl_cum[starts], dl_cum[ends]
 
-    return pd.DataFrame({
+    # block payload slices are CONTIGUOUS by construction (consecutive
+    # cumsum windows), so a single offsets array describes them all
+    def offsets(b0, b1):
+        return np.concatenate([b0, b1[-1:]]).astype(np.int64)
+
+    return {
+        "starts": starts,
         "shard_id": shard[starts].astype(np.int32),
-        "term": term[starts],
         "block_id": (pos_in_run[starts] // block_size).astype(np.int32),
         "first_doc": doc[starts],
         "last_doc": doc[ends - 1],
         "n": n_blk.astype(np.int32),
-        "deltas": [gap_buf[a:c] for a, c in zip(gap_b0, gap_b1)],
-        "tfs": [tf_buf[a:c] for a, c in zip(tf_b0, tf_b1)],
-        "dls": [dl_buf[a:c] for a, c in zip(dl_b0, dl_b1)],
+        "gap_buf": gap_buf, "gap_off": offsets(gap_b0, gap_b1),
+        "tf_buf": tf_buf, "tf_off": offsets(tf_b0, tf_b1),
+        "dl_buf": dl_buf, "dl_off": offsets(dl_b0, dl_b1),
         "max_tf": max_tf.astype(np.int32),
         "max_score": max_score.astype(np.float64),
+    }
+
+
+def encode_runs(shard: np.ndarray, term: np.ndarray, doc: np.ndarray,
+                tf: np.ndarray, dl: np.ndarray, idf: np.ndarray,
+                avgdl: float, k1: float, b: float,
+                block_size: int = BLOCK_SIZE_DEFAULT):
+    """Vectorized block encoding of MANY posting runs at once (pandas form).
+
+    Input: columnar arrays sorted by (shard, term, doc). One numpy pass
+    regardless of run count; only the final byte-slicing touches Python.
+    The distributed build uses the Arrow-native stream in postings.py
+    (shared numpy core, no object-string materialization); this wrapper
+    remains the reference implementation for property tests and local use.
+    """
+    import pandas as pd
+
+    n = doc.size
+    if n == 0:
+        return None
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (shard[1:] != shard[:-1]) | (term[1:] != term[:-1])
+    c = _encode_runs_core(shard, new_run, doc, tf, dl, idf,
+                          avgdl=avgdl, k1=k1, b=b, block_size=block_size)
+    go, to, do = c["gap_off"], c["tf_off"], c["dl_off"]
+    return pd.DataFrame({
+        "shard_id": c["shard_id"],
+        "term": term[c["starts"]],
+        "block_id": c["block_id"],
+        "first_doc": c["first_doc"],
+        "last_doc": c["last_doc"],
+        "n": c["n"],
+        "deltas": [c["gap_buf"][a:z] for a, z in zip(go[:-1], go[1:])],
+        "tfs": [c["tf_buf"][a:z] for a, z in zip(to[:-1], to[1:])],
+        "dls": [c["dl_buf"][a:z] for a, z in zip(do[:-1], do[1:])],
+        "max_tf": c["max_tf"],
+        "max_score": c["max_score"],
     })
 
 

@@ -9,7 +9,7 @@ ONLY tf-grain shuffle in the posting build is the shard repartition:
       ⋈ broadcast(term_stats(term, idf))    [vocabulary-sized broadcast]
       → repartition(P, shard_id, term_bucket)  [THE tf-grain shuffle]
       → sortWithinPartitions(shard_id, term, doc_id)
-      → mapInPandas(block encoder)          [Arrow-batch streaming, carries
+      → mapInArrow(block encoder)           [Arrow-batch streaming, carries
                                              (shard, term) runs across batches]
       → postings(shard_id, term, block_id, first_doc, last_doc, n,
                  deltas, tfs, dls, max_tf, max_score)
@@ -39,7 +39,6 @@ shuffle of (doc,term,tf)-grain data, everything downstream is shard-local.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -69,44 +68,96 @@ def with_shard(df: DataFrame, n_shards: int, doc_col: str = "doc_id") -> DataFra
 
 
 def _encoder_stream(k1: float, b: float, avgdl: float, block_size: int):
-    """mapInPandas iterator: rows sorted by (shard_id, term, doc_id) within
-    the partition; vectorized block encoding (codec.encode_runs) per Arrow
-    batch, carrying the unfinished (shard, term) run across batches."""
+    """mapInArrow iterator: rows sorted by (shard_id, term, doc_id) within
+    the partition; vectorized block encoding (codec._encode_runs_core) per
+    Arrow batch, carrying the unfinished (shard, term) run across batches.
 
-    from .codec import encode_runs
+    Arrow-native on purpose: the previous mapInPandas form materialized a
+    Python str object PER POSTING ROW (Arrow→pandas conversion of the term
+    column — 15M allocations per 1M docs) just to find run boundaries.
+    Here term boundaries come from a C++ adjacent-inequality
+    (pc.not_equal over two slices), the numeric columns convert zero-copy,
+    the output term column is a `take` of the input Arrow array (one value
+    per BLOCK, not per row), and the varint payloads are wrapped as Arrow
+    BinaryArrays directly over the encoder's contiguous buffers — no
+    per-row Python objects anywhere in the hot path."""
 
-    def encode_head(pdf: pd.DataFrame):
-        return encode_runs(
-            pdf["shard_id"].to_numpy(np.int32),
-            pdf["term"].to_numpy(object),
-            pdf["doc_id"].to_numpy(np.int64),
-            pdf["tf"].to_numpy(np.int64),
-            pdf["doc_len"].to_numpy(np.int64),
-            pdf["idf"].to_numpy(np.float64),
-            avgdl=avgdl, k1=k1, b=b, block_size=block_size,
-        )
+    # driver-side import: _encode_runs_core travels by value inside the
+    # closure (ensure_udf_serializable), so the worker needs no package on
+    # its sys.path; pyarrow is a plain site-packages import, safe on workers
+    from .codec import _encode_runs_core
 
     def fn(batches):
-        carry = None  # pandas DataFrame of the unfinished (shard, term) run
-        for pdf in batches:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def new_run_mask(tbl: "pa.Table") -> np.ndarray:
+            n = tbl.num_rows
+            shard = tbl.column("shard_id").chunk(0).to_numpy()
+            mask = np.empty(n, dtype=bool)
+            mask[0] = True
+            if n > 1:
+                terms = tbl.column("term").chunk(0)
+                ne_term = pc.not_equal(
+                    terms.slice(1), terms.slice(0, n - 1)
+                ).to_numpy(zero_copy_only=False)
+                mask[1:] = (shard[1:] != shard[:-1]) | ne_term
+            return mask
+
+        def encode_head(tbl: "pa.Table", new_run: np.ndarray) -> "pa.RecordBatch":
+            col = {name: tbl.column(name).chunk(0) for name in
+                   ("shard_id", "term", "doc_id", "tf", "doc_len", "idf")}
+            c = _encode_runs_core(
+                col["shard_id"].to_numpy(), new_run,
+                col["doc_id"].to_numpy(), col["tf"].to_numpy(),
+                col["doc_len"].to_numpy(), col["idf"].to_numpy(),
+                avgdl=avgdl, k1=k1, b=b, block_size=block_size,
+            )
+
+            def binarr(buf: bytes, off: np.ndarray) -> "pa.Array":
+                # zero-copy BinaryArray: the encoder's contiguous varint
+                # stream IS the values buffer; per-block offsets wrap it
+                return pa.Array.from_buffers(
+                    pa.binary(), off.size - 1,
+                    [None, pa.py_buffer(np.ascontiguousarray(off, np.int32)),
+                     pa.py_buffer(buf)])
+
+            term_out = col["term"].take(pa.array(c["starts"], pa.int64()))
+            return pa.RecordBatch.from_arrays(
+                [pa.array(c["shard_id"], pa.int32()),
+                 term_out.cast(pa.string()),
+                 pa.array(c["block_id"], pa.int32()),
+                 pa.array(c["first_doc"], pa.int64()),
+                 pa.array(c["last_doc"], pa.int64()),
+                 pa.array(c["n"], pa.int32()),
+                 binarr(c["gap_buf"], c["gap_off"]),
+                 binarr(c["tf_buf"], c["tf_off"]),
+                 binarr(c["dl_buf"], c["dl_off"]),
+                 pa.array(c["max_tf"], pa.int32()),
+                 pa.array(c["max_score"], pa.float64())],
+                names=[f.name for f in POSTING_SCHEMA.fields],
+            )
+
+        carry = None  # pa.Table holding the unfinished (shard, term) run
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
             if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
+                tbl = pa.concat_tables([carry, tbl])
                 carry = None
-            if pdf.empty:
+            tbl = tbl.combine_chunks()
+            n = tbl.num_rows
+            if n == 0:
                 continue
-            # hold back the trailing (shard, term) run — it may continue in
-            # the next Arrow batch (input is sorted, runs are contiguous)
-            last_shard = pdf["shard_id"].iloc[-1]
-            last_term = pdf["term"].iloc[-1]
-            tail_mask = (pdf["shard_id"] == last_shard) & (pdf["term"] == last_term)
-            tail_start = len(pdf) - int(tail_mask.values[::-1].argmin()
-                                        if not tail_mask.all() else len(pdf))
-            carry = pdf.iloc[tail_start:]
-            head = pdf.iloc[:tail_start]
-            if not head.empty:
-                yield encode_head(head)
-        if carry is not None and not carry.empty:
-            yield encode_head(carry)
+            # hold back the trailing run — it may continue in the next batch
+            mask = new_run_mask(tbl)
+            tail_start = int(np.flatnonzero(mask)[-1])
+            carry = tbl.slice(tail_start)
+            if tail_start > 0:
+                yield encode_head(tbl.slice(0, tail_start),
+                                  mask[:tail_start])
+        if carry is not None and carry.num_rows > 0:
+            carry = carry.combine_chunks()
+            yield encode_head(carry, new_run_mask(carry))
 
     return fn
 
@@ -150,7 +201,7 @@ def build_postings(tf: DataFrame, dstats: DataFrame | None, tstats: DataFrame,
         .sortWithinPartitions("shard_id", "term", "doc_id")
         .drop("term_bucket")
     )
-    return sorted_runs.mapInPandas(
+    return sorted_runs.mapInArrow(
         _encoder_stream(k1, b, avgdl, block_size), schema=POSTING_SCHEMA
     )
 

@@ -154,3 +154,59 @@ def _assert_parity(spark, index, oracle, query, k):
     assert [r["doc_id"] for r in got] == [d for d, _ in want], query
     for r, (_, s) in zip(got, want):
         assert abs(r["score"] - s) <= 1e-6 * max(1.0, abs(s)), (query, r)
+
+
+def test_arrow_encoder_stream_matches_pandas_encoder():
+    """The mapInArrow block-encoder stream (zero per-row Python objects)
+    must be byte-identical to the reference pandas encode_runs, including
+    runs split across Arrow batch boundaries (carry logic). Pure-Python —
+    drives the stream iterator directly, no Spark session needed."""
+    import pyarrow as pa
+
+    from hybrid_search_engine_spark.operators.codec import encode_runs
+    from hybrid_search_engine_spark.operators.postings import (
+        POSTING_SCHEMA,
+        _encoder_stream,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for shard in range(3):
+        for term in ["alpha", "beta", "gamma", "z"]:
+            docs = np.sort(rng.choice(10_000, size=rng.randint(1, 300),
+                                      replace=False))
+            for d in docs:
+                rows.append((shard, term, int(d), int(rng.randint(1, 5)),
+                             int(rng.randint(5, 50)), 1.25))
+    arr = list(zip(*rows))
+    tbl = pa.table({
+        "shard_id": pa.array(arr[0], pa.int32()),
+        "term": pa.array(arr[1], pa.string()),
+        "doc_id": pa.array(arr[2], pa.int64()),
+        "tf": pa.array(arr[3], pa.int64()),
+        "doc_len": pa.array(arr[4], pa.int64()),
+        "idf": pa.array(arr[5], pa.float64()),
+    })
+    # awkward batch sizes force runs to straddle batch boundaries
+    batches, i = [], 0
+    for sz in [1, 7, 130, 55, 10**9]:
+        b = tbl.slice(i, sz)
+        if b.num_rows:
+            batches.append(b.combine_chunks().to_batches()[0])
+        i += sz
+
+    fn = _encoder_stream(k1=1.5, b=0.75, avgdl=20.0, block_size=64)
+    got = pa.Table.from_batches(list(fn(iter(batches)))).to_pandas()
+    want = encode_runs(
+        np.array(arr[0], np.int32), np.array(arr[1], object),
+        np.array(arr[2], np.int64), np.array(arr[3], np.int64),
+        np.array(arr[4], np.int64), np.array(arr[5], np.float64),
+        avgdl=20.0, k1=1.5, b=0.75, block_size=64)
+
+    assert len(got) == len(want)
+    for c in ["shard_id", "term", "block_id", "first_doc", "last_doc",
+              "n", "max_tf"]:
+        assert list(got[c]) == list(want[c]), c
+    for c in ["deltas", "tfs", "dls"]:
+        assert [bytes(x) for x in got[c]] == [bytes(x) for x in want[c]], c
+    assert np.allclose(got["max_score"], want["max_score"])
