@@ -20,7 +20,13 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """`cores` sizes shuffle width; `master` overrides the local[cores]
+    default (e.g. ``local-cluster[4,4,12288]`` for the multi-executor-JVM
+    scaling protocol in bench_multijvm.py — when passing a local-cluster
+    master, `cores` should be total executor cores so shuffle widths match
+    the equivalent local[N] run)."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # 4× cores, NOT cores: hash-agg/join task memory footprints scale with
     # rows-per-reduce-task, and sizing reduce partitions at exactly `cores`
@@ -40,7 +46,7 @@ def get_spark(
         "-XX:GCLockerRetryAllocationCount=100",
     )
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -51,10 +57,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     if jvm_opts:
         b = b.config("spark.driver.extraJavaOptions", jvm_opts)
+        if master and master.startswith("local-cluster"):
+            # compute happens in the executor JVMs there, not the driver
+            b = b.config("spark.executor.extraJavaOptions", jvm_opts)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
