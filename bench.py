@@ -89,10 +89,29 @@ def main() -> None:
     # --- training-data-pipeline operators (dedup / similarity / quality) ---
     from hybrid_search_engine_spark import contract_ext
 
-    for name in ["minhash_sig", "knn_batch", "quality"]:
+    for name in ["minhash_sig", "knn_batch", "quality", "lang_detect"]:
         fn = contract_ext.QUERIES_EXT[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).write.format("noop").mode(
             "overwrite").save())
+
+    # engine-tier minhash (xxhash64 signatures — the default for
+    # minhash_lsh_pairs; minhash_sig above is the md5 portable/oracle tier)
+    from hybrid_search_engine_spark.operators.dedup import (
+        minhash_signatures_fast,
+    )
+
+    timed("minhash_fast", lambda: minhash_signatures_fast(
+        contract_ext._docs(spark, SF_DIR)).write.format("noop").mode(
+        "overwrite").save())
+
+    # 1k-query batch through the broadcast queries-info path (the
+    # closure→broadcast switch engages at BATCH_BROADCAST_MIN=64)
+    from fixtures.gen_corpus import all_queries
+
+    qs = all_queries()
+    batch_1k = [(i, qs[i % len(qs)]) for i in range(1000)]
+    timed("bm25_batch_1k", lambda: reader.search_batch(
+        batch_1k, k=10).write.format("noop").mode("overwrite").save())
 
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

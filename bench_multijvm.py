@@ -152,12 +152,16 @@ def _membw_ceiling(lo: int, hi: int, secs: float = 6.0) -> dict:
         n = 8 * 1024 * 1024  # 64 MiB per array
         a = np.ones(n)
         c = np.ones(n)
+        b = np.empty(n)
+        np.multiply(a, 2.0, out=b)  # touch all pages before timing
         t_end = time.time() + secs
         iters = 0
         while time.time() < t_end:
-            b = 2.0 * a + c  # noqa: F841  (3 arrays touched / iter)
+            # in-place triad: no allocation, no page faults in the loop
+            np.multiply(a, 2.0, out=b)
+            np.add(b, c, out=b)
             iters += 1
-        q.put(iters * 3 * 8 * n)
+        q.put(iters * 4 * 8 * n)  # bytes: read a, write b, read b+c, write b
 
     out = {}
     for procs in (lo, hi):

@@ -35,7 +35,19 @@ CORES_PAIR = tuple(int(c) for c in os.environ.get("HSE_SCALE_CORES", "4,16").spl
 # Static narrative carried into every regenerated BENCH/BASELINE.md so a
 # re-run never drops the historical analysis sections (they record one-time
 # investigations, not per-run measurements).
-EXTRA_NOTES = """## Round-2c: bench noise control + statistics-plan unification
+EXTRA_NOTES = """## Round 3: this single-JVM protocol is SUPERSEDED for the scaling gate
+
+The numbers below share one JVM heap/GC between the N and 4N configs. The
+north-rule gate evidence now lives in **BENCH/MULTIJVM.md**
+(bench_multijvm.py): N vs 4N *executor JVMs* — `local-cluster[K,4,mem]`
+with real cross-process shuffles, and K pinned disjoint-slice children —
+in strong AND weak (Gustafson, 4× corpus at 4× executors) scaling, with
+ALU + memory-bandwidth ceiling probes. Headline finding: separate small
+heaps make the 4-core baseline itself ~2× faster than this file's pinned
+local[4] numbers (GC locality), which raises the denominator of every
+efficiency ratio; see MULTIJVM.md for the per-protocol numbers.
+
+## Round-2c: bench noise control + statistics-plan unification
 
 Two changes after the scaling gate closed:
 

@@ -16,7 +16,6 @@ from .contract import FLAGSHIP_QUERY, FLAGSHIP_TERMS, STOP_SQL, TOK_SQL, _docs
 from .functions.analysis import (
     LANG_FUNCTION_WORDS,
     content_fingerprint,
-    detect_language,
     quality_columns,
     rolling_prefix_hash,
     token_count_columns,
@@ -193,19 +192,64 @@ SQL_KNN_BATCH = " UNION ALL ".join(
     f"SELECT * FROM ({_knn_one_sql(q, v)})" for q, v in ((0, 3), (1, 7), (2, 11)))
 
 
+# Planted near-duplicate embedding vectors, union'ed into the embeddings
+# table by BOTH the Spark query and the DuckDB oracle — the testdata
+# embeddings contain no pairs ≥ 0.9, which previously left this oracle row
+# vacuously green at 0 rows. Integer-valued components are exact in
+# float32 storage and in float64 summation in ANY order, so both engines
+# compute bit-identical cosines and the >= 0.9 boundary decision cannot
+# drift with parallel-sum order. Geometry (non-zero only in dims 0-1):
+#   9000001 ≡ 9000002, and 9000003 = 2×9000001  → three cos = 1.0 pairs
+#   9000004 = the 3-4-5 rotation                → cos = 0.96 pairs
+#   9000005 · 9000006 = 0.9000000250…  → just ABOVE threshold; the
+#       round-6 contract value is exactly 0.900000 (the boundary case)
+#   9000007 · 9000006 = 0.8999999529…  → just BELOW (must be absent)
+EMB_DIM = 64
+PLANTED_EMBEDDINGS = [
+    (9000001, [3.0, 4.0]),
+    (9000002, [3.0, 4.0]),
+    (9000003, [6.0, 8.0]),
+    (9000004, [4.0, 3.0]),
+    (9000005, [2360.0, 1143.0]),
+    (9000006, [1.0, 0.0]),
+    (9000007, [2073.0, 1004.0]),
+]
+
+
+def _planted_embeddings_padded():
+    return [(vid, vec + [0.0] * (EMB_DIM - len(vec)))
+            for vid, vec in PLANTED_EMBEDDINGS]
+
+
 def q_embedding_near_pairs(spark, sf_dir):
     """Exact cosine ≥ 0.9 pairs (brute pair generation — the LSH-bucketed
-    variant is probabilistic and unit-tested for recall instead)."""
+    variant is probabilistic and unit-tested for recall instead) over the
+    embeddings table plus PLANTED_EMBEDDINGS (see above)."""
     from .operators.dedup import embedding_near_dup_pairs
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = spark.createDataFrame(
+        _planted_embeddings_padded(), "vec_id bigint, embedding array<float>")
+    emb = emb.unionByName(planted.select(
+        F.col("vec_id").cast(dict(emb.dtypes)["vec_id"]),
+        F.col("embedding").cast(dict(emb.dtypes)["embedding"])))
     pairs = embedding_near_dup_pairs(emb, threshold=0.9, n_planes=0)
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
 
 
-SQL_EMBEDDING_NEAR_PAIRS = """
-WITH ex AS (SELECT vec_id, unnest(embedding) AS v,
-                   generate_subscripts(embedding, 1) AS i FROM embeddings),
+_PLANTED_VALUES = ", ".join(
+    "({}, [{}]::FLOAT[])".format(
+        vid, ",".join(str(x) for x in vec))
+    for vid, vec in _planted_embeddings_padded())
+
+SQL_EMBEDDING_NEAR_PAIRS = f"""
+WITH embx AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT * FROM (VALUES {_PLANTED_VALUES}) t(vec_id, embedding)
+),
+ex AS (SELECT vec_id, unnest(embedding) AS v,
+              generate_subscripts(embedding, 1) AS i FROM embx),
 dots AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
@@ -225,36 +269,53 @@ WHERE dot / (na.nrm * nb.nrm) >= 0.9
 # ---------------------------------------------------------------------------
 
 def q_lang_detect(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    return d.select("doc_id", F.col("lang").alias("lang_given"),
-                    detect_language("text").alias("lang_detected"))
+    from .functions.analysis import detect_language_df
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("lang").alias("lang_given"), "text")
+    return detect_language_df(d).select("doc_id", "lang_given",
+                                        "lang_detected")
 
 
-def _ratio_sql(words):
+# unicode-aware token expr for the LANGUAGE tier only (mirrors
+# functions/analysis.py LANG_TOKEN_CLASS; \p{L} works in RE2 too)
+TOK_LANG = r"regexp_extract_all(lower(coalesce(text,'')), '[\p{L}0-9_]+')"
+
+
+def _ratio_sql(words, tok_expr: str = TOK_ALL):
     lst = "[" + ",".join(f"'{w}'" for w in words) + "]"
-    return (f"CASE WHEN len({TOK_ALL}) > 0 THEN "
-            f"len(list_filter({TOK_ALL}, t -> list_contains({lst}, t)))::DOUBLE"
-            f" / len({TOK_ALL}) ELSE 0.0 END")
+    return (f"CASE WHEN len({tok_expr}) > 0 THEN "
+            f"len(list_filter({tok_expr}, t -> list_contains({lst}, t)))::DOUBLE"
+            f" / len({tok_expr}) ELSE 0.0 END")
 
 
 def _sql_lang_detect(src: str = "documents", include_given: bool = True
                      ) -> str:
     """Generated from the SAME dicts as the Spark implementation
     (functions/analysis.py) so the two tiers cannot drift: latin tier =
-    earliest language attaining the max hit ratio (> 0.02 floor), script
-    tier = earliest SCRIPT_LANG entry attaining the max per-char count,
-    active when non-latin chars outnumber latin; han+kana → ja.
+    earliest language attaining the max hit ratio (> 0.02 floor) over the
+    unicode-aware lang tokenizer, script tier = earliest SCRIPT_LANG entry
+    attaining the max per-char count, active when non-latin chars outnumber
+    latin; han+kana → ja, cyrillic → ru/uk/bg/sr and arabic → ar/fa/ur by
+    DISTINCTIVE_CHARS counts (same rule order as the Column form).
 
     ``src``: FROM-clause source (a table name or CTE) with
     (doc_id, text[, lang]) columns."""
-    from .functions.analysis import LANG_SCRIPT_RANGES, SCRIPT_LANG
+    from .functions.analysis import (
+        DISTINCTIVE_CHARS,
+        LANG_SCRIPT_RANGES,
+        SCRIPT_LANG,
+    )
 
     score_cols = ",\n         ".join(
-        f"{_ratio_sql(ws)} AS s_{lang}"
+        f"{_ratio_sql(ws, TOK_LANG)} AS s_{lang}"
         for lang, ws in LANG_FUNCTION_WORDS.items())
     count_cols = ",\n         ".join(
         f"len(regexp_extract_all(coalesce(text,''), '{pat}')) AS c_{name}"
         for name, pat in LANG_SCRIPT_RANGES.items())
+    dist_cols = ",\n         ".join(
+        f"len(regexp_extract_all(coalesce(text,''), '{pat}')) AS d_{code}"
+        for code, pat in DISTINCTIVE_CHARS.items())
     mx = "greatest(" + ", ".join(f"s_{l}" for l in LANG_FUNCTION_WORDS) + ")"
     nmx = "greatest(" + ", ".join(f"c_{s}" for s in SCRIPT_LANG) + ")"
     latin_case = ("CASE WHEN mx <= 0.02 THEN 'und' "
@@ -263,13 +324,20 @@ def _sql_lang_detect(src: str = "documents", include_given: bool = True
     script_case = ("CASE " + " ".join(f"WHEN c_{s} = nmx THEN '{c}'"
                                       for s, c in SCRIPT_LANG.items())
                    + " END")
+    cyr_case = ("CASE WHEN d_sr > 0 THEN 'sr' "
+                "WHEN d_uk > 0 AND d_uk >= d_ru THEN 'uk' "
+                "WHEN d_ru > 0 THEN 'ru' "
+                "WHEN d_bg > 0 THEN 'bg' ELSE 'ru' END")
+    ar_case = ("CASE WHEN d_ur > 0 THEN 'ur' "
+               "WHEN d_fa > 0 THEN 'fa' ELSE 'ar' END")
     given = "lang AS lang_given," if include_given else ""
     given_out = "lang_given," if include_given else ""
     return f"""
 r AS (
   SELECT doc_id, {given}
          {score_cols},
-         {count_cols}
+         {count_cols},
+         {dist_cols}
   FROM {src}
 ),
 m AS (
@@ -281,6 +349,8 @@ p AS (
 SELECT doc_id, {given_out}
        CASE WHEN nmx > c_latin THEN
          CASE WHEN script_pick0 = 'zh' AND c_kana > 0 THEN 'ja'
+              WHEN script_pick0 = 'ru' THEN {cyr_case}
+              WHEN script_pick0 = 'ar' THEN {ar_case}
               ELSE script_pick0 END
        ELSE latin_pick END AS lang_detected
 FROM p
@@ -290,45 +360,85 @@ FROM p
 SQL_LANG_DETECT = "WITH " + _sql_lang_detect()
 
 
-# 16 fixed phrases, one per supported language — the multilingual surface
-# of detect_language (both tiers), synthesized deterministically per doc_id
-# so the contract needs no external data. Keep SQL-literal-safe (no ').
+# One fixed phrase per supported language (49) — the multilingual surface
+# of detect_language (all tiers: latin argmax, script argmax, cyrillic and
+# arabic distinctive-char sub-tiers), synthesized deterministically per
+# doc_id so the contract needs no external data. Keep SQL-literal-safe
+# (no '). Each phrase deliberately carries its language's distinctive
+# function words / characters (da hvad/af vs no hva/av, ru ы/ё vs uk і/ї,
+# ur retroflexes vs fa پ/ژ …).
 LANG_PHRASES = [
     ("en", "the quick brown fox jumps over the lazy dog and runs away with it"),
-    ("de", "der hund und die katze sind nicht mit dem mann im haus"),
-    ("fr", "le chien et le chat ne sont pas avec il dans la maison"),
+    ("de", "der hund und die katze sind nicht mit dem mann im haus aber auch"),
+    ("fr", "le chien et le chat ne sont pas avec il dans la maison pour nous"),
     ("es", "el perro y el gato no son con los que se van en la casa"),
     ("it", "il cane è non sono una bestia ma anche questo gatto che corre"),
     ("pt", "o cachorro não é um gato mas você também já viu isso em casa"),
     ("nl", "de hond en de kat zijn niet met het kind bij dit huis"),
-    ("ru", "собака и кошка не находятся в доме с человеком"),
+    ("tr", "köpek ve kedi evde adam ile birlikte değil ama bir şey var"),
+    ("pl", "pies i kot nie są w domu z człowiekiem ale to jest bardzo"),
+    ("sv", "hunden och katten är inte i huset med mannen men jag har också"),
+    ("da", "hunden og katten er ikke i huset med manden men hvad har havde af"),
+    ("no", "hunden og katten er ikke i huset med mannen men hva har hadde av mye"),
+    ("fi", "koira ja kissa eivät ole talossa miehen kanssa mutta se on myös"),
+    ("cs", "pes a kočka nejsou v domě s mužem ale to je také jsou"),
+    ("sk", "pes a mačka nie sú v dome s mužom ale to je tiež veľmi"),
+    ("ro", "câinele și pisica nu sunt în casă cu omul dar este foarte"),
+    ("hu", "a kutya és a macska nincs a házban az emberrel de ez nagyon van volt"),
+    ("id", "anjing dan kucing tidak ada di rumah dengan orang itu tetapi juga yang"),
+    ("vi", "con chó và con mèo không có ở trong nhà với người đàn ông của là"),
+    ("ca", "el gos i el gat no són a la casa amb el que és molt també pel"),
+    ("hr", "pas i mačka nisu u kući s čovjekom ali je vrlo također su"),
+    ("ru", "собака и кошка не в доме с мужчиной это её быт был"),
+    ("uk", "собака і кішка не в будинку з чоловіком її це є"),
+    ("bg", "кучето и котката не са в къщата с мъжа това е много"),
+    ("sr", "пас и мачка нису у кући са човеком јер је то веома"),
     ("zh", "狗和猫不在房子里和人在一起"),
     ("ja", "犬と猫は家の中で人と一緒にいません"),
     ("ko", "개와 고양이는 집에서 사람과 함께 있지 않습니다"),
     ("ar", "الكلب والقط ليسا في المنزل مع الرجل"),
+    ("fa", "سگ و گربه با مرد در خانه نیستند چون پژوهش گچ"),
+    ("ur", "کتا اور بلی گھر میں آدمی کے ساتھ نہیں ہیں ٹھیک"),
     ("hi", "कुत्ता और बिल्ली घर में आदमी के साथ नहीं हैं"),
+    ("bn", "কুকুর এবং বিড়াল ঘরে মানুষের সাথে নেই"),
+    ("ta", "நாயும் பூனையும் வீட்டில் மனிதனுடன் இல்லை"),
+    ("te", "కుక్క మరియు పిల్లి ఇంట్లో మనిషితో లేవు"),
+    ("kn", "ನಾಯಿ ಮತ್ತು ಬೆಕ್ಕು ಮನೆಯಲ್ಲಿ ಮನುಷ್ಯನೊಂದಿಗೆ ಇಲ್ಲ"),
+    ("ml", "നായയും പൂച്ചയും വീട്ടിൽ മനുഷ്യനോടൊപ്പം ഇല്ല"),
+    ("gu", "કૂતરો અને બિલાડી ઘરમાં માણસ સાથે નથી"),
+    ("pa", "ਕੁੱਤਾ ਅਤੇ ਬਿੱਲੀ ਘਰ ਵਿੱਚ ਆਦਮੀ ਨਾਲ ਨਹੀਂ ਹਨ"),
     ("el", "ο σκύλος και η γάτα δεν είναι στο σπίτι με τον άνθρωπο"),
     ("he", "הכלב והחתול אינם בבית עם האיש"),
     ("th", "สุนัขและแมวไม่ได้อยู่ในบ้านกับผู้ชาย"),
+    ("my", "ခွေးနှင့်ကြောင်သည် လူနှင့်အတူ အိမ်တွင်မရှိပါ"),
+    ("km", "ឆ្កែ និង ឆ្មា មិននៅក្នុងផ្ទះជាមួយបុរសទេ"),
+    ("lo", "ຫມາແລະແມວບໍ່ຢູ່ໃນເຮືອນກັບຜູ້ຊາຍ"),
+    ("si", "බල්ලා සහ පූසා මිනිසා සමඟ ගෙදර නැත"),
+    ("ka", "ძაღლი და კატა სახლში კაცთან ერთად არ არიან"),
+    ("hy", "շունը և կատուն տանը մարդու հետ չեն"),
+    ("am", "ውሻ እና ድመት ከሰው ጋር በቤት ውስጥ አይደሉም"),
 ]
 
 
 def q_lang_detect_wide(spark, sf_dir):
-    """U6 wide surface: detect over all 16 supported languages. Text is
-    synthesized per doc_id from LANG_PHRASES (doc_id % 16) with a doc_id
+    """U6 wide surface: detect over all 49 supported languages. Text is
+    synthesized per doc_id from LANG_PHRASES (doc_id % len) with a doc_id
     suffix so the latin tier still sees realistic token mixes; the oracle
     recomputes detection independently in DuckDB from the same literals."""
     d = _docs(spark, sf_dir)
+    n = len(LANG_PHRASES)
     phrase = F.element_at(F.array(*[F.lit(p) for _, p in LANG_PHRASES]),
-                          (F.pmod(F.col("doc_id"), F.lit(16)) + 1).cast("int"))
+                          (F.pmod(F.col("doc_id"), F.lit(n)) + 1).cast("int"))
     synth = d.select("doc_id",
                      F.concat(phrase, F.lit(" case "),
                               F.col("doc_id").cast("string")).alias("text"))
-    return synth.select("doc_id", detect_language("text").alias("lang_detected"))
+    from .functions.analysis import detect_language_df
+
+    return detect_language_df(synth).select("doc_id", "lang_detected")
 
 
 def _sql_lang_detect_wide():
-    case = ("CASE CAST(doc_id % 16 AS INT) "
+    case = (f"CASE CAST(doc_id % {len(LANG_PHRASES)} AS INT) "
             + " ".join(f"WHEN {i} THEN '{p}'"
                        for i, (_, p) in enumerate(LANG_PHRASES))
             + " END")
@@ -1188,8 +1298,9 @@ def q_script_detect(spark, sf_dir):
     from .functions.analysis import detect_script
 
     d = _docs(spark, sf_dir)
+    n = len(LANG_PHRASES)
     phrase = F.element_at(F.array(*[F.lit(p) for _, p in LANG_PHRASES]),
-                          (F.pmod(F.col("doc_id"), F.lit(16)) + 1).cast("int"))
+                          (F.pmod(F.col("doc_id"), F.lit(n)) + 1).cast("int"))
     synth = d.select("doc_id", phrase.alias("text"))
     return synth.select("doc_id", detect_script("text").alias("script"))
 
@@ -1197,7 +1308,7 @@ def q_script_detect(spark, sf_dir):
 def _sql_script_detect():
     from .functions.analysis import SCRIPT_RANGES
 
-    case = ("CASE CAST(doc_id % 16 AS INT) "
+    case = (f"CASE CAST(doc_id % {len(LANG_PHRASES)} AS INT) "
             + " ".join(f"WHEN {i} THEN '{p}'"
                        for i, (_, p) in enumerate(LANG_PHRASES))
             + " END")

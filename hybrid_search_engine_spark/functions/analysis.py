@@ -24,14 +24,24 @@ from .text import tokens_native
 # list = the reference stopword set; others are standard closed-class words.
 # Dict ORDER is the argmax tie-break (earliest wins) — the SQL oracle is
 # generated from this same dict, so keep insertion order stable.
+#
+# The lists intentionally overlap (de/nl "de", scandinavian og/er/ikke …):
+# argmax over hit RATIOS decides, and near-language boundaries (sv/da/no,
+# cs/sk, es/ca) resolve by each list carrying that language's distinctive
+# function words (da hvad/af/havde vs no hva/av/hadde, cs jsou/také vs sk
+# sú/tiež, …). Reference semantics model: language.py:66-138 (langdetect,
+# ~50 languages) — this covers 49 deterministically.
 LANG_FUNCTION_WORDS = {
     "en": sorted(STOPWORDS),
     "de": ("der die das und oder aber ein eine einer nicht ist sind war mit "
-           "von zu für auf im den dem des sie er es wir ihr ich du".split()),
+           "von zu für auf im den dem des sie er es wir ihr ich du auch "
+           "wenn dann noch wie bei nach über".split()),
     "fr": ("le la les un une des et ou mais ne pas est sont était avec de "
-           "du au aux pour sur dans il elle nous vous ils je tu ce cette".split()),
+           "du au aux pour sur dans il elle nous vous ils je tu ce cette "
+           "qui que être avoir plus très".split()),
     "es": ("el la los las un una unos y o pero no es son era con de del al "
-           "para en por que se su ellos nosotros yo tú usted esta este".split()),
+           "para en por que se su ellos nosotros yo tú usted esta este "
+           "más muy como cuando también".split()),
     "it": ("il lo la gli le che di non è sono era una uno per con ma come "
            "più questo questa nel della delle degli anche questi sia "
            "loro noi io tu perché quando molto".split()),
@@ -41,12 +51,53 @@ LANG_FUNCTION_WORDS = {
     "nl": ("de het een en van niet is zijn was met voor op aan bij dat "
            "deze ook maar naar om uit er hij zij wij jullie ik je dit "
            "worden wordt hebben heeft".split()),
+    "tr": ("ve bir bu da de için ile gibi daha çok ne o ben sen biz siz "
+           "onlar ama fakat değil mi ki en az her şey var yok olarak "
+           "kadar sonra önce".split()),
+    "pl": ("i w na nie jest są był z do że się o jak po co ten ta to dla "
+           "przez ale lub oraz być ma mają już tylko może bardzo kiedy "
+           "gdzie".split()),
+    "sv": ("och att det en ett är inte på för med som av den de har hade "
+           "jag du vi ni han hon man men om när var här där mycket också "
+           "kan ska".split()),
+    "da": ("og at det en et er ikke på for med som af den de har havde jeg "
+           "du vi i han hun man men om når var her der meget også kan "
+           "skal hvad hvor".split()),
+    "no": ("og å det en et er ikke på for med som av den de har hadde jeg "
+           "du vi dere han hun man men om når var her der mye også kan "
+           "skal hva hvor fra ut".split()),
+    "fi": ("ja ei eivät se on ovat oli ole että mutta tai kun jos niin "
+           "kuin myös vain sitten koska hän me te he minä sinä tämä tuo "
+           "joka mikä kanssa ilman jo vielä".split()),
+    "cs": ("a v na je jsou byl není se že s do pro jako ale nebo když už "
+           "jen také co ten ta to my vy oni já ty on ona bude být má mají "
+           "velmi kde".split()),
+    "sk": ("a v na je sú bol nie sa že s do pre ako ale alebo keď už len "
+           "tiež čo ten tá to my vy oni ja ty on ona bude byť má majú "
+           "veľmi kde".split()),
+    "ro": ("și în la nu este sunt era cu de pe pentru că se din ca dar sau "
+           "când mai foarte acest această el ea noi voi ei eu tu are au "
+           "fi fost".split()),
+    "hu": ("és a az nem van vannak volt hogy egy ez azt is de vagy ha már "
+           "csak még mint nagyon mi ti ők én te ő lesz lehet kell minden "
+           "nincs".split()),
+    "id": ("dan yang di ke dari tidak adalah ini itu dengan untuk pada "
+           "akan sudah ada atau juga bisa saya kamu kami mereka dia kita "
+           "apa siapa karena jika tetapi dalam".split()),
+    "vi": ("và của là không có được trong cho với một này đó những các để "
+           "đã sẽ đang người tôi bạn chúng họ nó gì khi nếu nhưng vì".split()),
+    "ca": ("i el la els les un una uns unes no és són era amb de del per "
+           "a què es seu ells nosaltres jo tu vostè aquesta aquest més "
+           "molt com quan també pel".split()),
+    "hr": ("i u na je su bio nije se da s za kao ali ili kada već samo "
+           "također što taj ta to mi vi oni ja ti on ona biti ima imaju "
+           "vrlo gdje".split()),
 }
 
-# Non-latin scripts map directly to a language code (the reference wraps
-# langdetect, language.py:66-138; for single-script languages the script IS
-# the decision). Japanese is the mixed-script case: any kana presence
-# alongside han → ja, pure han → zh.
+# Non-latin scripts map to a base language code (for single-language
+# scripts the script IS the decision). Multi-language scripts refine below:
+# han+kana → ja; cyrillic → ru/uk/bg/sr and arabic → ar/fa/ur via
+# distinctive-character sub-tiers (DISTINCTIVE_CHARS).
 SCRIPT_LANG = {
     "cyrillic": "ru",
     "han": "zh",
@@ -57,12 +108,27 @@ SCRIPT_LANG = {
     "greek": "el",
     "hebrew": "he",
     "thai": "th",
+    "bengali": "bn",
+    "tamil": "ta",
+    "telugu": "te",
+    "kannada": "kn",
+    "malayalam": "ml",
+    "gujarati": "gu",
+    "gurmukhi": "pa",
+    "myanmar": "my",
+    "khmer": "km",
+    "lao": "lo",
+    "sinhala": "si",
+    "georgian": "ka",
+    "armenian": "hy",
+    "ethiopic": "am",
 }
 
 # Single-char classes (literal unicode range endpoints — valid in both java
 # regex and DuckDB's RE2, so the oracle can count with the same patterns).
+# latin includes Latin Extended Additional (U+1E00-1EFF) for vietnamese.
 LANG_SCRIPT_RANGES = {
-    "latin": "[A-Za-zÀ-ɏ]",
+    "latin": "[A-Za-zÀ-ɏḀ-ỿ]",
     "cyrillic": "[Ѐ-ӿ]",
     "han": "[一-鿿]",
     "kana": "[぀-ヿ]",
@@ -72,20 +138,66 @@ LANG_SCRIPT_RANGES = {
     "greek": "[Ͱ-Ͽ]",
     "hebrew": "[֐-׿]",
     "thai": "[฀-๿]",
+    "bengali": "[ঀ-৿]",
+    "tamil": "[஀-௿]",
+    "telugu": "[ఀ-౿]",
+    "kannada": "[ಀ-೿]",
+    "malayalam": "[ഀ-ൿ]",
+    "gujarati": "[઀-૿]",
+    "gurmukhi": "[਀-੿]",
+    "myanmar": "[က-႟]",
+    "khmer": "[ក-៿]",
+    "lao": "[຀-໿]",
+    "sinhala": "[඀-෿]",
+    "georgian": "[Ⴀ-ჿ]",
+    "armenian": "[԰-֏]",
+    "ethiopic": "[ሀ-፿]",
 }
+
+# Within-script distinguishers (char classes counted once each; both tiers
+# of the oracle SQL are generated from this dict too). Order of the rules:
+#   cyrillic: sr (ј ћ ђ љ њ џ unique to serbian) → uk (і ї є ґ) when at
+#     least as frequent as the ru markers → ru (ы э ё) → bg (ъ with no ru
+#     markers — bulgarian dropped ы/э; ъ is a live vowel there) → ru.
+#   arabic: ur FIRST (retroflex ٹ ڈ ڑ, noon ghunna ں, bari ye ے — urdu
+#     keeps گ/پ too, so the persian class can't go first) → fa (پ چ ژ گ)
+#     → ar.
+DISTINCTIVE_CHARS = {
+    "sr": "[јћђљњџЈЋЂЉЊЏ]",
+    "uk": "[іїєґІЇЄҐ]",
+    "ru": "[ыэёЫЭЁ]",
+    "bg": "[ъЪ]",
+    "ur": "[ٹڈڑںےھ]",
+    "fa": "[پچژگ]",
+}
+
+# Unicode-aware token class FOR LANGUAGE ID ONLY (\p{L} is the unicode
+# letter category in both java.util.regex and RE2): function words in
+# diacritic alphabets (tr ş, vi đ, cs č, …) must survive tokenization.
+# The BM25 parity tokenizer (functions/text.py) keeps the reference's
+# ASCII semantics — this class is scoped to the analysis tier.
+LANG_TOKEN_CLASS = r"[\p{L}0-9_]+"
+
+
+def lang_tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(LANG_TOKEN_CLASS), 0)
 
 
 def _hit_ratio(toks: Column, words: list[str]) -> Column:
-    wl = F.array(*[F.lit(w) for w in words])
+    # t.isin(...) compiles to an In over a literal list, which the
+    # optimizer rewrites to InSet (hash-set membership) — O(1) per token
+    # vs the O(|words|) interpreted array_contains scan this replaced
+    # (measured 3× on the WHERE-predicate family, operators/stats.py).
     return F.when(
         F.size(toks) > 0,
-        F.size(F.filter(toks, lambda t: F.array_contains(wl, t))).cast("double")
+        F.size(F.filter(toks, lambda t: t.isin(*words))).cast("double")
         / F.size(toks),
     ).otherwise(F.lit(0.0))
 
 
 def lang_scores(text_col) -> list[Column]:
-    toks = tokens_native(text_col, remove_stopwords=False)
+    toks = lang_tokens(text_col)
     return [
         _hit_ratio(toks, ws).alias(f"score_{lang}")
         for lang, ws in LANG_FUNCTION_WORDS.items()
@@ -94,19 +206,22 @@ def lang_scores(text_col) -> list[Column]:
 
 def detect_language(text_col) -> Column:
     """Two-tier language ID, all native expressions (reference semantics
-    model: language.py:66-138 wraps langdetect; this covers the 16 most
-    common web languages deterministically):
+    model: language.py:66-138 wraps langdetect, ~50 languages; this covers
+    49 web languages deterministically):
 
-    1. script tier — per-char counts for 9 non-latin scripts; if the best
+    1. script tier — per-char counts for 23 non-latin scripts; if the best
        non-latin script outnumbers latin letters, map script → language
-       (``SCRIPT_LANG``; han with any kana present → ja).
-    2. latin tier — argmax over per-language function-word hit ratios
-       (``LANG_FUNCTION_WORDS``, dict order breaks ties, earliest wins);
-       'und' (undetermined) when nothing scores above the 0.02 floor.
+       (``SCRIPT_LANG``). Multi-language scripts refine further: han with
+       any kana present → ja; cyrillic → ru/uk/bg/sr and arabic →
+       ar/fa/ur by distinctive-character counts (``DISTINCTIVE_CHARS``).
+    2. latin tier — argmax over 21 per-language function-word hit ratios
+       (``LANG_FUNCTION_WORDS``, dict order breaks ties, earliest wins)
+       on the unicode-aware ``lang_tokens`` tokenizer; 'und'
+       (undetermined) when nothing scores above the 0.02 floor.
     """
     c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col,
                    F.lit(""))
-    toks = tokens_native(c, remove_stopwords=False)
+    toks = lang_tokens(c)
 
     # The per-language ratios and per-script counts are the expensive
     # subexpressions. Evaluate each EXACTLY ONCE by packing them into two
@@ -118,35 +233,134 @@ def detect_language(text_col) -> Column:
     # in analysis + interpreted evaluation.)
     script_names = list(LANG_SCRIPT_RANGES)  # index 0 = latin
     assert script_names[1:] == list(SCRIPT_LANG)  # shared order = tie-break
+    dist_names = list(DISTINCTIVE_CHARS)
     scores = F.array(*[_hit_ratio(toks, ws)
                        for ws in LANG_FUNCTION_WORDS.values()])
-    counts = F.array(*[F.regexp_count(c, F.lit(pat)).cast("int")
-                       for pat in LANG_SCRIPT_RANGES.values()])
+    # one counts array: 24 script ranges then the 6 distinctive classes —
+    # every regexp_count evaluated once
+    counts = F.array(*([F.regexp_count(c, F.lit(pat)).cast("int")
+                        for pat in LANG_SCRIPT_RANGES.values()]
+                       + [F.regexp_count(c, F.lit(pat)).cast("int")
+                          for pat in DISTINCTIVE_CHARS.values()]))
     lang_lit = F.array(*[F.lit(l) for l in LANG_FUNCTION_WORDS])
     script_lit = F.array(*[F.lit(code) for code in SCRIPT_LANG.values()])
     kana_pos = script_names.index("kana") + 1  # 1-based into counts
+    n_scripts = len(script_names)
 
     def pick(x):
         s, cnt = x["s"], x["n"]
+
+        def dist(code):  # 1-based position of a DISTINCTIVE_CHARS count
+            return F.element_at(cnt, n_scripts + dist_names.index(code) + 1)
+
         latin_n = F.element_at(cnt, 1)
-        nonlatin = F.slice(cnt, 2, len(script_names) - 1)
+        nonlatin = F.slice(cnt, 2, n_scripts - 1)
         nl_max = F.array_max(nonlatin)
         # latin tier: earliest argmax over the 0.02 floor (array_position
         # returns the FIRST occurrence — same tie-break as the old loop)
         mx = F.array_max(s)
         latin_pick = F.when(mx <= F.lit(0.02), F.lit("und")).otherwise(
             F.element_at(lang_lit, F.array_position(s, mx).cast("int")))
-        # script tier: earliest maximal non-latin script; han-dominant with
-        # any kana present → ja (mixed-script Japanese)
+        # script tier: earliest maximal non-latin script, then the
+        # within-script refinements (order documented on DISTINCTIVE_CHARS)
         script0 = F.element_at(
             script_lit, F.array_position(nonlatin, nl_max).cast("int"))
-        script_pick = F.when(
-            (script0 == "zh") & (F.element_at(cnt, kana_pos) > 0),
-            F.lit("ja")).otherwise(script0)
+        cyr_pick = (
+            F.when(dist("sr") > 0, F.lit("sr"))
+            .when((dist("uk") > 0) & (dist("uk") >= dist("ru")), F.lit("uk"))
+            .when(dist("ru") > 0, F.lit("ru"))
+            .when(dist("bg") > 0, F.lit("bg"))
+            .otherwise(F.lit("ru")))
+        ar_pick = (
+            F.when(dist("ur") > 0, F.lit("ur"))
+            .when(dist("fa") > 0, F.lit("fa"))
+            .otherwise(F.lit("ar")))
+        script_pick = (
+            F.when((script0 == "zh") & (F.element_at(cnt, kana_pos) > 0),
+                   F.lit("ja"))
+            .when(script0 == "ru", cyr_pick)
+            .when(script0 == "ar", ar_pick)
+            .otherwise(script0))
         return F.when(nl_max > latin_n, script_pick).otherwise(latin_pick)
 
     packed = F.array(F.struct(scores.alias("s"), counts.alias("n")))
     return F.element_at(F.transform(packed, pick), 1)
+
+
+def lang_word_table(spark):
+    """(word, lang, lang_idx) rows for every function word — the broadcast
+    side of detect_language_df. lang_idx encodes dict order (tie-break)."""
+    rows = []
+    for idx, (lang, ws) in enumerate(LANG_FUNCTION_WORDS.items()):
+        for w in sorted(set(ws)):
+            rows.append((w, lang, idx))
+    return spark.createDataFrame(rows, "word string, lang string, lang_idx int")
+
+
+def detect_language_df(df, text_col: str = "text", key_col: str = "doc_id",
+                       out_col: str = "lang_detected"):
+    """Scale form of :func:`detect_language`: identical output (tested for
+    equivalence), different plan. The latin tier becomes
+    explode(tokens) ⋈ broadcast(word table) → count → argmax instead of 21
+    per-language set-membership passes per row — measured 6× faster at 21
+    languages on sf0.1 and the gap grows with language count, because per
+    token it does ONE hash-join probe instead of 21 set probes. Script
+    counts stay per-row native expressions (0.95 s / 5k docs — not the
+    bottleneck). Costs one key-grain shuffle (the hit-count groupBy +
+    join); rows per key after the join ≈ languages-with-hits ≈ 2-4, so the
+    shuffle is tiny relative to the text. ``key_col`` must be unique.
+
+    Returns ``df`` plus ``out_col``. Reference semantics model:
+    language.py:66-138 (same two-tier rule as the Column form)."""
+    spark = df.sparkSession
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = lang_tokens(c)
+    script_names = list(LANG_SCRIPT_RANGES)
+    count_cols = (
+        [F.regexp_count(c, F.lit(p)).cast("int").alias(f"__c_{n}")
+         for n, p in LANG_SCRIPT_RANGES.items()]
+        + [F.regexp_count(c, F.lit(p)).cast("int").alias(f"__d_{n}")
+           for n, p in DISTINCTIVE_CHARS.items()])
+    base = df.select("*", F.size(toks).alias("__ntok"), *count_cols)
+
+    ex = df.select(F.col(key_col).alias("__key"), F.explode(toks).alias("word"))
+    # pri = inverted dict index so that max(struct(cnt, pri, lang)) picks
+    # the highest count and, on ties, the EARLIEST dict entry — the same
+    # tie-break as array_position in the Column form
+    wt = F.broadcast(lang_word_table(spark).withColumn(
+        "pri", F.lit(10_000) - F.col("lang_idx")))
+    hits = (
+        ex.join(wt, "word")
+        .groupBy("__key", "lang", "pri").agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("__key").agg(F.max(F.struct("cnt", "pri", "lang")).alias("__best"))
+    )
+    joined = base.join(hits, base[key_col] == hits["__key"], "left")
+
+    nonlatin = F.array(*[F.col(f"__c_{n}") for n in script_names[1:]])
+    nl_max = F.array_max(nonlatin)
+    script_lit = F.array(*[F.lit(code) for code in SCRIPT_LANG.values()])
+    script0 = F.element_at(script_lit,
+                           F.array_position(nonlatin, nl_max).cast("int"))
+    d = {code: F.col(f"__d_{code}") for code in DISTINCTIVE_CHARS}
+    cyr_pick = (F.when(d["sr"] > 0, F.lit("sr"))
+                .when((d["uk"] > 0) & (d["uk"] >= d["ru"]), F.lit("uk"))
+                .when(d["ru"] > 0, F.lit("ru"))
+                .when(d["bg"] > 0, F.lit("bg"))
+                .otherwise(F.lit("ru")))
+    ar_pick = (F.when(d["ur"] > 0, F.lit("ur"))
+               .when(d["fa"] > 0, F.lit("fa"))
+               .otherwise(F.lit("ar")))
+    script_pick = (F.when((script0 == "zh") & (F.col("__c_kana") > 0), F.lit("ja"))
+                   .when(script0 == "ru", cyr_pick)
+                   .when(script0 == "ar", ar_pick)
+                   .otherwise(script0))
+    ratio = F.col("__best.cnt").cast("double") / F.col("__ntok")
+    latin_pick = F.when(
+        F.col("__best").isNull() | (F.col("__ntok") == 0)
+        | (ratio <= F.lit(0.02)), F.lit("und")).otherwise(F.col("__best.lang"))
+    out = F.when(nl_max > F.col("__c_latin"), script_pick).otherwise(latin_pick)
+    return joined.select(*[base[cname] for cname in df.columns],
+                         out.alias(out_col))
 
 
 def quality_columns(text_col) -> list[Column]:

@@ -80,12 +80,49 @@ def _pil_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return flat[:dim]
 
 
+def _bmp_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Hermetic real decoder for uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    BI_RGB) — ~30 lines of struct+numpy, zero dependencies, so the
+    REAL-decode branch runs in CI even without PIL. Grayscale = BT.601 luma;
+    resize = nearest-neighbor index sampling (documented fallback
+    resampling — this is a fallback decoder, not a PIL byte-clone)."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (comp,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    bottom_up, h = h > 0, abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    px = np.frombuffer(payload, np.uint8, stride * h, pix_off)
+    px = px.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        px = px[::-1]
+    b, g, r = (px[..., i].astype(np.float64) for i in range(3))  # BGR order
+    gray = 0.299 * r + 0.587 * g + 0.114 * b
+    side = max(int(dim ** 0.5), 1)
+    ri = (np.arange(side) * h) // side
+    ci = (np.arange(side) * w) // side
+    flat = (gray[np.ix_(ri, ci)].astype(np.float32) / 255.0 - 0.5).reshape(-1)
+    if flat.size < dim:
+        flat = np.pad(flat, (0, dim - flat.size))
+    return flat[:dim]
+
+
 def decode_image(payload: bytes, deterministic_fake: bool = False) -> np.ndarray:
     """Image → feature vector. Dependency-guarded: uses PIL when installed
-    (decode → grayscale-resize → normalized floats); without PIL, either the
-    deterministic fake (CI/oracle path — sha256-nibble features replayable
-    in SQL) or NotImplementedError so callers see an honest decode_ok=False
-    rather than silent garbage."""
+    (decode → grayscale-resize → normalized floats); without PIL,
+    uncompressed BMPs still REALLY decode via the hermetic ``_bmp_feature``
+    parser; otherwise either the deterministic fake (oracle path —
+    sha256-nibble features replayable in SQL) or NotImplementedError so
+    callers see an honest decode_ok=False rather than silent garbage."""
     if payload is None:
         raise ValueError("NULL payload")
     if deterministic_fake:
@@ -93,9 +130,12 @@ def decode_image(payload: bytes, deterministic_fake: bool = False) -> np.ndarray
     try:
         return _pil_feature(payload)
     except ImportError:
-        raise NotImplementedError(
-            "image decoding requires PIL/libjpeg — not installed; "
-            "pass deterministic_fake=True to exercise the pipeline shape")
+        pass
+    if payload[:2] == b"BM":
+        return _bmp_feature(payload)
+    raise NotImplementedError(
+        "decoding non-BMP images requires PIL/libjpeg — not installed; "
+        "pass deterministic_fake=True to exercise the pipeline shape")
 
 
 def extract_features(media: DataFrame, batch_rows: int = 64,
@@ -122,7 +162,10 @@ def extract_features(media: DataFrame, batch_rows: int = 64,
                         feats.append(decode_image(bytes(payload),
                                                   deterministic_fake).tolist())
                         oks.append(True)
-                    except NotImplementedError:
+                    except Exception:
+                        # missing codec (NotImplementedError) or corrupt
+                        # payload: an honest decode_ok=False row — a bad
+                        # image must never kill a 10^12-row decode job
                         feats.append(None)
                         oks.append(False)
                 yield pd.DataFrame({"media_id": chunk["media_id"].values,

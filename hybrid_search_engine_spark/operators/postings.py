@@ -116,7 +116,17 @@ def _encoder_stream(k1: float, b: float, avgdl: float, block_size: int):
 
             def binarr(buf: bytes, off: np.ndarray) -> "pa.Array":
                 # zero-copy BinaryArray: the encoder's contiguous varint
-                # stream IS the values buffer; per-block offsets wrap it
+                # stream IS the values buffer; per-block offsets wrap it.
+                # pa.binary() offsets are int32 — fail loudly rather than
+                # silently wrap if one Arrow batch's varint payload ever
+                # exceeds 2^31-1 bytes (conceivable for a Zipf-head
+                # (shard,term) run carried across a giant batch).
+                if off.size and int(off[-1]) > np.iinfo(np.int32).max:
+                    raise ValueError(
+                        f"posting payload {int(off[-1])} bytes overflows "
+                        "int32 binary offsets; lower "
+                        "spark.sql.execution.arrow.maxRecordsPerBatch or "
+                        "raise n_shards to split hot terms")
                 return pa.Array.from_buffers(
                     pa.binary(), off.size - 1,
                     [None, pa.py_buffer(np.ascontiguousarray(off, np.int32)),

@@ -204,6 +204,9 @@ def ivf_train_centroids(emb: DataFrame, n_lists: int = 16,
         .limit(sample_size)
         .collect()
     )
+    if not sample:
+        raise ValueError(
+            "cannot train IVF centroids on an empty embedding table")
     X = np.array([r[vec_col] for r in sample], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     n_lists = min(n_lists, len(X))

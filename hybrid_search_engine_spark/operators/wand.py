@@ -179,15 +179,20 @@ def _score_one_query(lists: dict, qinfo: dict, avgdl: float, k1: float,
     return cand_docs[order], cand_scores[order]
 
 
-def _make_shard_scorer(queries_info: dict, avgdl: float, k1: float, b: float,
+def _make_shard_scorer(queries_info, avgdl: float, k1: float, b: float,
                        k: int, prune: bool):
-    """queries_info: query_id -> {term: (idf, qweight)}."""
+    """queries_info: query_id -> {term: (idf, qweight)}, either a plain
+    dict (small batches: rides the task closure) or a pyspark Broadcast
+    (large batches: shipped once per executor instead of once per task —
+    search_index_batch switches at ``BATCH_BROADCAST_MIN`` queries)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = queries_info.value if hasattr(queries_info, "value") \
+            else queries_info
         lists = {term: _TermList(grp)
                  for term, grp in pdf.groupby("term", sort=False)}
         qids, docs, scores = [], [], []
-        for qid, qinfo in queries_info.items():
+        for qid, qinfo in qs.items():
             d, s = _score_one_query(lists, qinfo, avgdl, k1, b, k, prune)
             if d.size:
                 qids.append(np.full(d.size, qid, dtype=np.int32))
@@ -202,6 +207,11 @@ def _make_shard_scorer(queries_info: dict, avgdl: float, k1: float, b: float,
                              "score": np.concatenate(scores)})
 
     return fn
+
+
+# batch sizes at or above this broadcast the query-info dict instead of
+# closing over it per task (override in tests to force either path)
+BATCH_BROADCAST_MIN = 64
 
 
 def _queries_info(queries: list[tuple], term_idf: dict,
@@ -249,6 +259,10 @@ def search_index_batch(spark: SparkSession, postings: DataFrame, tstats,
     ensure_udf_serializable()
     used_terms = sorted({t for q in qsinfo.values() for t in q})
     pruned = postings.where(F.col("term").isin(used_terms))
+    if len(qsinfo) >= BATCH_BROADCAST_MIN:
+        # large batch sets: ship (queries × terms × idf) once per executor
+        # via torrent broadcast, not once per shard task in the closure
+        qsinfo = spark.sparkContext.broadcast(qsinfo)
     scorer = _make_shard_scorer(qsinfo, avgdl, k1, b, k, mode == "pruned")
     local = pruned.groupBy("shard_id").applyInPandas(scorer, schema=_OUT_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(

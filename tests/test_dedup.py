@@ -39,11 +39,13 @@ def test_exact_duplicates_finds_planted(spark, docs_idx):
     assert len(unexpected) <= 3, f"too many unexpected dups: {sorted(unexpected)[:10]}"
 
 
-def test_minhash_lsh_finds_planted_near_dups(spark, docs_idx):
+@pytest.mark.parametrize("signatures", ["fast", "md5"])
+def test_minhash_lsh_finds_planted_near_dups(spark, docs_idx, signatures):
     from hybrid_search_engine_spark.operators.dedup import minhash_lsh_pairs
 
     pairs = minhash_lsh_pairs(docs_idx, num_perm=32, bands=8,
-                              jaccard_threshold=0.6).collect()
+                              jaccard_threshold=0.6,
+                              signatures=signatures).collect()
     found = {(r["doc_a"], r["doc_b"]) for r in pairs}
     # exact dups (jaccard 1.0) must all be found
     for i in PLANTED_EXACT:
@@ -52,6 +54,48 @@ def test_minhash_lsh_finds_planted_near_dups(spark, docs_idx):
                    for a, b in found), f"exact pair ({i-1},{i}) missed by LSH"
     for r in pairs:
         assert r["jaccard"] >= 0.6
+
+
+def test_minhash_fast_estimator_agrees_with_md5(spark, docs_idx):
+    """The xxhash64 signature is a valid MinHash family: per-pair Jaccard
+    estimates (fraction of agreeing signature slots) from the fast and md5
+    forms must agree statistically, and both must track exact Jaccard.
+    128 permutations → se ≈ sqrt(J(1-J)/128) ≤ 0.045; assert within 4·se
+    plus both estimators within 0.25 of each other on every planted pair."""
+    from hybrid_search_engine_spark.operators.dedup import (
+        char_shingles,
+        minhash_signatures,
+        minhash_signatures_fast,
+    )
+
+    sample = docs_idx.where(
+        (F.col("doc_id") % 97 == 0) | (F.col("doc_id") % 131 == 0)
+        | (F.col("doc_id") < 20)).cache()
+    md5_sig = {r["doc_id"]: r["sig"] for r in
+               minhash_signatures(sample, num_perm=128).collect()}
+    fast_sig = {r["doc_id"]: r["sig"] for r in
+                minhash_signatures_fast(sample, num_perm=128).collect()}
+    exact = {r["doc_id"]: set(r["sh"]) for r in sample.select(
+        "doc_id", F.array_distinct(char_shingles(F.col("text"))).alias("sh")
+    ).collect()}
+
+    def est(sig, a, b):
+        return sum(x == y for x, y in zip(sig[a], sig[b])) / 128.0
+
+    ids = sorted(md5_sig)
+    checked = 0
+    for i in ids:
+        for j in ids:
+            if j <= i or (i % 7 + j % 5) % 3:  # deterministic thinning
+                continue
+            true_j = (len(exact[i] & exact[j]) / len(exact[i] | exact[j]))
+            for sig in (md5_sig, fast_sig):
+                e = est(sig, i, j)
+                se = max((true_j * (1 - true_j) / 128) ** 0.5, 0.02)
+                assert abs(e - true_j) <= 4 * se, (i, j, e, true_j)
+            assert abs(est(md5_sig, i, j) - est(fast_sig, i, j)) <= 0.25
+            checked += 1
+    assert checked >= 10
 
 
 def test_simhash64_near_dups(spark, docs_idx):
@@ -103,3 +147,26 @@ def test_embedding_near_dup_lsh_recall(spark):
     assert lset <= bset  # LSH never invents pairs
     assert len(bset) >= 10
     assert len(lset) / len(bset) >= 0.8, (len(lset), len(bset))
+
+
+def test_embedding_near_pairs_planted(spark, sf_dir):
+    """The contract row was previously vacuous (0 rows both sides). The
+    planted vectors guarantee: the cos=1.0 family and the 0.96 rotations
+    surface, the just-above-threshold pair (9000005,9000006) surfaces with
+    round-6 value exactly 0.900000, and the just-below pair
+    (9000006,9000007) does NOT."""
+    from hybrid_search_engine_spark.contract_ext import q_embedding_near_pairs
+
+    rows = q_embedding_near_pairs(spark, sf_dir).collect()
+    got = {(r["id_a"], r["id_b"]): r["cosine_r"] for r in rows}
+    assert got, "no pairs at all — planting failed"
+    assert got[(9000001, 9000002)] == 1.0
+    assert got[(9000001, 9000003)] == 1.0
+    assert got[(9000002, 9000003)] == 1.0
+    assert got[(9000001, 9000004)] == 0.96
+    assert got[(9000005, 9000006)] == 0.9  # boundary: unrounded ≥ 0.9
+    assert (9000006, 9000007) not in got   # just below the threshold
+    # planted vectors live in the dims-0/1 plane; no real testdata vector
+    # should reach 0.9 against them (and sf testdata has no real-real pair)
+    stray = [p for p in got if (p[0] < 9000000) != (p[1] < 9000000)]
+    assert not stray, stray

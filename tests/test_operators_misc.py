@@ -146,10 +146,15 @@ def test_ivf_save_load_roundtrip(spark, emb, tmp_path):
     b = [(r["vec_id"], round(r["cosine"], 9))
          for r in ivf_search(idx2, C2, q, k=5, nprobe=2).collect()]
     assert a == b
-    # probe reads only the probed list directories (partition pruning)
+    # probe reads only the probed list directories: the scan node's
+    # PartitionFilters section itself must name list_id (asserting on the
+    # whole plan string is vacuous — the filter predicate echoes list_id)
+    import re
+
     plan = idx2.where(F.col("list_id").isin([0, 1]))._jdf.queryExecution(
     ).executedPlan().toString()
-    assert "PartitionFilters" in plan or "list_id" in plan
+    m = re.search(r"PartitionFilters: \[[^\]]*list_id[^\]]*\]", plan)
+    assert m, f"no partition filter on list_id in scan:\n{plan}"
 
 
 # ---------------------------------------------------------------------------
@@ -172,8 +177,9 @@ def test_detect_language(spark):
 
 
 def test_detect_language_wide(spark):
-    """U6 wide tier: latin function-word argmax (7 langs) + script tier
-    (9 non-latin scripts, han+kana → ja)."""
+    """U6 wide tier: latin function-word argmax (21 langs) + script tier
+    (23 non-latin scripts; han+kana → ja, cyrillic → ru/uk/bg/sr and
+    arabic → ar/fa/ur by distinctive-char sub-tiers) — 49 languages."""
     from hybrid_search_engine_spark.contract_ext import LANG_PHRASES
     from hybrid_search_engine_spark.functions.analysis import detect_language
 
@@ -399,3 +405,32 @@ def test_autocomplete(spark):
     got = suggest(sugg, "machine", n=2).collect()
     assert [(r["query_text"], r["frequency"]) for r in got] == [
         ("machine learning", 3), ("machine vision", 1)]
+
+
+def test_detect_language_df_equivalence(spark, sf_dir):
+    """The join-plan detect_language_df must agree with the Column form on
+    every fixture phrase (all 49 languages + und/mixed cases) and on the
+    real sf documents table."""
+    from hybrid_search_engine_spark.contract_ext import LANG_PHRASES
+    from hybrid_search_engine_spark.functions.analysis import (
+        detect_language,
+        detect_language_df,
+    )
+
+    rows = [(i, p) for i, (_, p) in enumerate(LANG_PHRASES)]
+    rows += [(900, "zqx wvu kjh"), (901, ""), (902, "日本語のテキストです"),
+             (903, "mixed the and und der text 123")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    col_form = {r["doc_id"]: r["l"] for r in
+                df.select("doc_id", detect_language("text").alias("l")).collect()}
+    df_form = {r["doc_id"]: r["lang_detected"] for r in
+               detect_language_df(df).collect()}
+    assert col_form == df_form
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    a = {r["doc_id"]: r["l"] for r in
+         docs.select("doc_id", detect_language("text").alias("l")).collect()}
+    b = {r["doc_id"]: r["lang_detected"] for r in
+         detect_language_df(docs).collect()}
+    assert a == b

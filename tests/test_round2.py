@@ -340,23 +340,79 @@ def test_decode_image_stub_without_pil():
         decode_image(b"\x89PNG fake", deterministic_fake=False)
 
 
-def test_decode_image_real_with_pil():
-    """With PIL installed, decode_image produces a real 64-dim grayscale
-    feature from a generated PNG (skips where PIL is absent)."""
-    import pytest
+def _make_bmp(w: int, h: int, pixel) -> bytes:
+    """Minimal uncompressed 24-bit bottom-up BMP writer (test fixture —
+    no dependencies). ``pixel(x, y)`` returns (r, g, b) with y=0 the TOP
+    row; rows are emitted bottom-first as the format requires."""
+    import struct
 
-    pytest.importorskip("PIL")
-    from io import BytesIO
+    stride = (w * 3 + 3) // 4 * 4
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):          # bottom-up storage order
+        row = bytearray()
+        for x in range(w):
+            r, g, b = pixel(x, y)
+            row += bytes((b, g, r))          # BGR on disk
+        row += b"\x00" * (stride - len(row))
+        rows += row
+    pix_off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", pix_off + len(rows), 0, 0, pix_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                      2835, 2835, 0, 0)
+    return bytes(header + dib + rows)
 
-    from PIL import Image
+
+def test_decode_image_real_hermetic_bmp():
+    """The REAL-decode branch (decode_ok=True on actual pixel data) runs in
+    CI with no image library: uncompressed 24-bit BMP decodes via the
+    hermetic ``_bmp_feature`` parser (or PIL where installed). A
+    constant-color image must map every feature to the BT.601 luma of that
+    color, within 8-bit rounding slack across decoders."""
+    import numpy as np
 
     from hybrid_search_engine_spark.operators.multimodal import decode_image
 
-    buf = BytesIO()
-    Image.new("RGB", (32, 32), (128, 64, 32)).save(buf, format="PNG")
-    f = decode_image(buf.getvalue(), deterministic_fake=False)
+    bmp = _make_bmp(32, 32, lambda x, y: (128, 64, 32))
+    f = decode_image(bmp, deterministic_fake=False)
+    expected = (0.299 * 128 + 0.587 * 64 + 0.114 * 32) / 255.0 - 0.5
     assert f.shape == (64,)
-    assert (f >= -0.5).all() and (f <= 0.5).all()
+    assert np.allclose(f, expected, atol=2 / 255), (float(f[0]), expected)
+
+
+def test_bmp_decoder_orientation_and_padding():
+    """Bottom-up flip and 4-byte row padding are handled: a top-half-white /
+    bottom-half-black image must come back with bright features in the top
+    rows of the 8×8 grid (odd width forces row padding)."""
+    import numpy as np
+
+    from hybrid_search_engine_spark.operators.multimodal import _bmp_feature
+
+    bmp = _make_bmp(
+        9, 8, lambda x, y: (255, 255, 255) if y < 4 else (0, 0, 0))
+    f = _bmp_feature(bmp).reshape(8, 8)
+    assert np.allclose(f[:4], 0.5)       # top half white
+    assert np.allclose(f[4:], -0.5)      # bottom half black
+
+
+def test_extract_features_real_decode_ok_without_pil(spark):
+    """End-to-end mapInPandas with deterministic_fake=False: BMP payloads
+    produce decode_ok=True REAL features; undecodable payloads stay an
+    honest decode_ok=False — in the same batch."""
+    from hybrid_search_engine_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    bmp = _make_bmp(8, 8, lambda x, y: (10 * x, 20 * y, 5))
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(bmp), None),
+         (2, "image", bytearray(b"\x89PNG not decodable"), None)],
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,"
+        "duration_ms:int,sample_rate:int>")
+    rows = {r["media_id"]: r for r in
+            extract_features(media, deterministic_fake=False).collect()}
+    assert rows[1]["decode_ok"] is True and len(rows[1]["feature"]) == 64
+    assert rows[2]["decode_ok"] is False and rows[2]["feature"] is None
 
 
 # ---------------------------------------------------------------------------
