@@ -71,6 +71,75 @@ def _warmup_and_docs(spark, pages_path: str, total_cores: int):
     return docs, n_docs
 
 
+def _repin_cluster_tree(k: int, cores_per_exec: int) -> None:
+    """Real clusters run the driver OFF the executor nodes. Re-pin after
+    executor registration: executor JVMs (CoarseGrainedExecutorBackend,
+    plus their future python workers via inheritance) to cores
+    0..4K-1, and the driver JVM + this python process to two cores above
+    the executor span — so driver scheduling/RPC never steals executor
+    CPU, identically at both K. Requires the parent to have granted the
+    child a 4K+2-wide affinity mask."""
+    import subprocess as sp
+    exec_span = f"0-{k * cores_per_exec - 1}"
+    drv_span = f"{k * cores_per_exec}-{k * cores_per_exec + 1}"
+    try:
+        pids = sp.check_output(
+            ["pgrep", "-f", "CoarseGrainedExecutorBackend"]).split()
+    except sp.CalledProcessError:
+        return
+    for pid in pids:
+        os.system(f"taskset -a -cp {exec_span} {int(pid)} >/dev/null 2>&1")
+    # this python process and its py4j driver JVM child
+    os.system(f"taskset -a -cp {drv_span} {os.getpid()} >/dev/null 2>&1")
+    try:
+        jvm_pids = sp.check_output(["pgrep", "-P", str(os.getpid())]).split()
+        for pid in jvm_pids:
+            os.system(f"taskset -a -cp {drv_span} {int(pid)} >/dev/null 2>&1")
+    except sp.CalledProcessError:
+        pass
+
+
+def _tally_eventlog(log_dir: str, t0_ms: float = 0.0,
+                    t1_ms: float = float("inf")) -> dict:
+    """Steal-resistant metrics from the Spark event log: aggregate task
+    CPU/run/GC time and shuffle traffic. Wall-clock on this VM swings with
+    hypervisor steal; executorCpuTime does not — equal CPU-seconds/doc at
+    K=1 and K=4 proves the engine adds no serial work and localizes any
+    wall gap in waiting (steal, fetch, scheduling)."""
+    agg = {"cpu_s": 0.0, "run_s": 0.0, "gc_s": 0.0,
+           "shuffle_write_mb": 0.0, "shuffle_read_mb": 0.0,
+           "fetch_wait_s": 0.0, "write_time_s": 0.0, "tasks": 0}
+    paths = []
+    for root, _dirs, files in os.walk(log_dir):
+        paths += [os.path.join(root, fn) for fn in files
+                  if not fn.startswith(".") and not fn.endswith(".crc")]
+    for path in paths:
+        with open(path, errors="replace") as f:
+            for line in f:
+                if '"Event":"SparkListenerTaskEnd"' not in line:
+                    continue
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                info = ev.get("Task Info") or {}
+                if not (t0_ms <= info.get("Finish Time", 0) <= t1_ms):
+                    continue  # only the timed build window
+                tm = ev.get("Task Metrics") or {}
+                agg["tasks"] += 1
+                agg["cpu_s"] += tm.get("Executor CPU Time", 0) / 1e9
+                agg["run_s"] += tm.get("Executor Run Time", 0) / 1e3
+                agg["gc_s"] += tm.get("JVM GC Time", 0) / 1e3
+                sw = tm.get("Shuffle Write Metrics") or {}
+                agg["shuffle_write_mb"] += sw.get("Shuffle Bytes Written", 0) / 1e6
+                agg["write_time_s"] += sw.get("Shuffle Write Time", 0) / 1e9
+                sr = tm.get("Shuffle Read Metrics") or {}
+                agg["shuffle_read_mb"] += (sr.get("Remote Bytes Read", 0)
+                                           + sr.get("Local Bytes Read", 0)) / 1e6
+                agg["fetch_wait_s"] += sr.get("Fetch Wait Time", 0) / 1e3
+    return {k2: round(v, 2) for k2, v in agg.items()}
+
+
 def child_cluster(k: int, cores_per_exec: int, pages_path: str, out_json: str) -> None:
     """One full-corpus build on a K-executor-JVM local cluster."""
     os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
@@ -82,6 +151,14 @@ def child_cluster(k: int, cores_per_exec: int, pages_path: str, out_json: str) -
         "spark.executor.memory": "10g",
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "8g"),
     }
+    eventlog_dir = None
+    if os.environ.get("HSE_MJ_EVENTLOG") == "1":
+        eventlog_dir = tempfile.mkdtemp(prefix=f"mjev{k}_")
+        extra["spark.eventLog.enabled"] = "true"
+        extra["spark.eventLog.dir"] = eventlog_dir
+        # single uncompressed JSON file (Spark 4 defaults to rolling+zstd)
+        extra["spark.eventLog.compress"] = "false"
+        extra["spark.eventLog.rolling.enabled"] = "false"
     # experiment knob, e.g. HSE_MJ_EXTRA_CONF="spark.io.compression.codec=zstd"
     for kv in filter(None, os.environ.get("HSE_MJ_EXTRA_CONF", "").split(",")):
         key, _, val = kv.partition("=")
@@ -92,17 +169,33 @@ def child_cluster(k: int, cores_per_exec: int, pages_path: str, out_json: str) -
         master=f"local-cluster[{k},{cores_per_exec},{EXEC_MEM_MB}]",
         extra_conf=extra,
     )
+    if os.environ.get("HSE_MJ_DRIVER_ISOLATE") == "1":
+        spark.range(1000).count()  # force executor registration first
+        _repin_cluster_tree(k, cores_per_exec)
     docs, n_docs = _warmup_and_docs(spark, pages_path, total)
     idx_dir = os.path.join(tempfile.mkdtemp(prefix=f"mjc{k}_"), "idx")
     t0 = time.time()
     build_index(spark, docs, idx_dir, n_shards=32)
     build_s = time.time() - t0
+    t1 = time.time()
     execs = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
     spark.stop()
+    rec = {"k": k, "n_docs": n_docs, "build_s": round(build_s, 3),
+           "docs_per_sec": round(n_docs / build_s, 1),
+           "jvm_endpoints": execs}
+    if eventlog_dir:
+        time.sleep(2)  # let the event log flush
+        m = _tally_eventlog(eventlog_dir, t0 * 1000, t1 * 1000)
+        m["cpu_us_per_doc"] = round(1e6 * m["cpu_s"] / max(n_docs, 1), 1)
+        rec["task_metrics"] = m
     with open(out_json, "w") as f:
-        json.dump({"k": k, "n_docs": n_docs, "build_s": round(build_s, 3),
-                   "docs_per_sec": round(n_docs / build_s, 1),
-                   "jvm_endpoints": execs}, f)
+        json.dump(rec, f)
+    # a 1M/4M index+tf is 1-4 GB; dozens of trials filled the disk once —
+    # children clean their own scratch
+    import shutil
+    shutil.rmtree(os.path.dirname(idx_dir), ignore_errors=True)
+    if eventlog_dir:
+        shutil.rmtree(eventlog_dir, ignore_errors=True)
 
 
 def child_slice(slice_idx: int, k: int, cores: int, pages_path: str, out_json: str) -> None:
@@ -136,6 +229,8 @@ def child_slice(slice_idx: int, k: int, cores: int, pages_path: str, out_json: s
         json.dump({"slice": slice_idx, "k": k, "n_docs": n_docs,
                    "build_s": round(build_s, 3),
                    "docs_per_sec": round(n_docs / build_s, 1)}, f)
+    import shutil
+    shutil.rmtree(os.path.dirname(idx_dir), ignore_errors=True)
 
 
 def _membw_ceiling(lo: int, hi: int, secs: float = 6.0) -> dict:
@@ -181,8 +276,13 @@ def _membw_ceiling(lo: int, hi: int, secs: float = 6.0) -> dict:
 
 def _run_cluster_trial(k: int, pages_path: str, out: str) -> dict:
     total = k * CORES_PER_EXEC
+    # driver isolation grants 2 cores ABOVE the executor span (the child
+    # re-pins executors vs driver inside the mask) — a real cluster's
+    # driver runs off the executor nodes at both K, so both configs get
+    # the same topology
+    span = total + 1 if os.environ.get("HSE_MJ_DRIVER_ISOLATE") == "1" else total - 1
     subprocess.run(
-        ["taskset", "-c", f"0-{total - 1}", sys.executable,
+        ["taskset", "-c", f"0-{span}", sys.executable,
          os.path.abspath(__file__), "--child-cluster", str(k),
          str(CORES_PER_EXEC), pages_path, out],
         check=True, cwd=REPO)

@@ -296,7 +296,7 @@ def _sql_lang_detect(src: str = "documents", include_given: bool = True
     earliest language attaining the max hit ratio (> 0.02 floor) over the
     unicode-aware lang tokenizer, script tier = earliest SCRIPT_LANG entry
     attaining the max per-char count, active when non-latin chars outnumber
-    latin; han+kana → ja, cyrillic → ru/uk/bg/sr and arabic → ar/fa/ur by
+    latin; han+kana → ja, cyrillic → mk/sr/uk/ru/bg and arabic → ar/fa/ur by
     DISTINCTIVE_CHARS counts (same rule order as the Column form).
 
     ``src``: FROM-clause source (a table name or CTE) with
@@ -324,7 +324,8 @@ def _sql_lang_detect(src: str = "documents", include_given: bool = True
     script_case = ("CASE " + " ".join(f"WHEN c_{s} = nmx THEN '{c}'"
                                       for s, c in SCRIPT_LANG.items())
                    + " END")
-    cyr_case = ("CASE WHEN d_sr > 0 THEN 'sr' "
+    cyr_case = ("CASE WHEN d_mk > 0 THEN 'mk' "
+                "WHEN d_sr > 0 THEN 'sr' "
                 "WHEN d_uk > 0 AND d_uk >= d_ru THEN 'uk' "
                 "WHEN d_ru > 0 THEN 'ru' "
                 "WHEN d_bg > 0 THEN 'bg' ELSE 'ru' END")
@@ -360,7 +361,7 @@ FROM p
 SQL_LANG_DETECT = "WITH " + _sql_lang_detect()
 
 
-# One fixed phrase per supported language (49) — the multilingual surface
+# One fixed phrase per supported language (60) — the multilingual surface
 # of detect_language (all tiers: latin argmax, script argmax, cyrillic and
 # arabic distinctive-char sub-tiers), synthesized deterministically per
 # doc_id so the contract needs no external data. Keep SQL-literal-safe
@@ -389,10 +390,21 @@ LANG_PHRASES = [
     ("vi", "con chó và con mèo không có ở trong nhà với người đàn ông của là"),
     ("ca", "el gos i el gat no són a la casa amb el que és molt també pel"),
     ("hr", "pas i mačka nisu u kući s čovjekom ali je vrlo također su"),
+    ("et", "koer ja kass ei ole majas koos mehega aga see on ning kas siis oma"),
+    ("lt", "šuo ir katė nėra name su vyru bet tai yra kad labai taip"),
+    ("lv", "suns un kaķis nav mājā ar vīrieti bet tas ir ļoti arī kad"),
+    ("sl", "pes in mačka nista v hiši z moškim ampak to je tudi zelo da so"),
+    ("sq", "qeni dhe macja nuk janë në shtëpi me burrin por kjo është shumë"),
+    ("tl", "ang aso at pusa ay hindi nasa bahay kasama ang lalaki pero ito ay may"),
+    ("sw", "mbwa na paka hawako ndani ya nyumba na mtu lakini hii ni sana kwa"),
+    ("af", "die hond en die kat is nie by die huis met die man nie maar dit is baie vir ons"),
+    ("so", "eyga iyo bisadda kuma jiraan guriga ninka la waa oo waxa ay badan"),
+    ("cy", "nid yw y ci ac y gath yn y ty gyda y dyn ond mae hefyd yn iawn"),
     ("ru", "собака и кошка не в доме с мужчиной это её быт был"),
     ("uk", "собака і кішка не в будинку з чоловіком її це є"),
     ("bg", "кучето и котката не са в къщата с мъжа това е много"),
     ("sr", "пас и мачка нису у кући са човеком јер је то веома"),
+    ("mk", "кучето и мачката не се во куќата со човекот и ќе биде ѓавол"),
     ("zh", "狗和猫不在房子里和人在一起"),
     ("ja", "犬と猫は家の中で人と一緒にいません"),
     ("ko", "개와 고양이는 집에서 사람과 함께 있지 않습니다"),
@@ -421,7 +433,7 @@ LANG_PHRASES = [
 
 
 def q_lang_detect_wide(spark, sf_dir):
-    """U6 wide surface: detect over all 49 supported languages. Text is
+    """U6 wide surface: detect over all 60 supported languages. Text is
     synthesized per doc_id from LANG_PHRASES (doc_id % len) with a doc_id
     suffix so the latin tier still sees realistic token mixes; the oracle
     recomputes detection independently in DuckDB from the same literals."""

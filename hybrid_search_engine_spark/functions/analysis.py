@@ -30,7 +30,8 @@ from .text import tokens_native
 # cs/sk, es/ca) resolve by each list carrying that language's distinctive
 # function words (da hvad/af/havde vs no hva/av/hadde, cs jsou/také vs sk
 # sú/tiež, …). Reference semantics model: language.py:66-138 (langdetect,
-# ~50 languages) — this covers 49 deterministically.
+# ~50 languages) — this covers 60 deterministically (21 + 10 appended
+# round-3b latin languages + 29 script-tier).
 LANG_FUNCTION_WORDS = {
     "en": sorted(STOPWORDS),
     "de": ("der die das und oder aber ein eine einer nicht ist sind war mit "
@@ -92,11 +93,31 @@ LANG_FUNCTION_WORDS = {
     "hr": ("i u na je su bio nije se da s za kao ali ili kada već samo "
            "također što taj ta to mi vi oni ja ti on ona biti ima imaju "
            "vrlo gdje".split()),
+    "et": ("ja ei on ole ning või aga kas see ta ma sa me te nad oma mis "
+           "kes kui ka siis veel juba ilma kuid selle olema olen oli".split()),
+    "lt": ("ir yra ne su iš į kad bet arba kai jau tik taip pat šis ši "
+           "tas ta mes jūs jie aš tu jis ji būti turi labai kur".split()),
+    "lv": ("un ir ne ar no uz ka bet vai kad jau tikai tā šis šī tas mēs "
+           "jūs viņi es tu viņš viņa būt var ļoti arī kur".split()),
+    "sl": ("in je ne v na s z da so bil ali ko že le tudi kaj ta to mi vi "
+           "oni jaz ti on ona biti ima zelo kje".split()),
+    "sq": ("dhe një në nuk është janë ishte me nga për që se por ose kur "
+           "më shumë ky kjo ai ajo ne ju ata unë ti ka do".split()),
+    "tl": ("ang ng mga sa at ay hindi ito iyon siya ako ikaw kami tayo "
+           "sila rin din naman po ba kung dahil pero may wala ni".split()),
+    "sw": ("na ya wa kwa ni si katika hii hiyo yeye mimi wewe sisi wao "
+           "pia lakini au kama kwamba ndani nje sana moja mbili".split()),
+    "af": ("die en van nie is was met vir op aan by dat hierdie ook maar "
+           "na om uit daar hy sy ons julle ek jy dit word het baie".split()),
+    "so": ("iyo waa ku ka la ma uu ay aan waxa waxaa oo ee si kale badan "
+           "yahay tahay".split()),
+    "cy": ("y yr a ac yn nid mae oedd gyda i o ar at dan hwn hon ni chi "
+           "nhw fi ti ef hi bod wedi hefyd iawn ond neu".split()),
 }
 
 # Non-latin scripts map to a base language code (for single-language
 # scripts the script IS the decision). Multi-language scripts refine below:
-# han+kana → ja; cyrillic → ru/uk/bg/sr and arabic → ar/fa/ur via
+# han+kana → ja; cyrillic → ru/uk/bg/sr/mk and arabic → ar/fa/ur via
 # distinctive-character sub-tiers (DISTINCTIVE_CHARS).
 SCRIPT_LANG = {
     "cyrillic": "ru",
@@ -156,13 +177,16 @@ LANG_SCRIPT_RANGES = {
 
 # Within-script distinguishers (char classes counted once each; both tiers
 # of the oracle SQL are generated from this dict too). Order of the rules:
-#   cyrillic: sr (ј ћ ђ љ њ џ unique to serbian) → uk (і ї є ґ) when at
-#     least as frequent as the ru markers → ru (ы э ё) → bg (ъ with no ru
-#     markers — bulgarian dropped ы/э; ъ is a live vowel there) → ru.
+#   cyrillic: mk FIRST (ѓ ќ exist only in macedonian — ј is shared with
+#     serbian so it can't discriminate) → sr (ћ ђ љ њ џ ј) → uk (і ї є ґ)
+#     when at least as frequent as the ru markers → ru (ы э ё) → bg (ъ
+#     with no ru markers — bulgarian dropped ы/э; ъ is a live vowel
+#     there) → ru.
 #   arabic: ur FIRST (retroflex ٹ ڈ ڑ, noon ghunna ں, bari ye ے — urdu
 #     keeps گ/پ too, so the persian class can't go first) → fa (پ چ ژ گ)
 #     → ar.
 DISTINCTIVE_CHARS = {
+    "mk": "[ѓќЃЌ]",
     "sr": "[јћђљњџЈЋЂЉЊЏ]",
     "uk": "[іїєґІЇЄҐ]",
     "ru": "[ыэёЫЭЁ]",
@@ -207,14 +231,14 @@ def lang_scores(text_col) -> list[Column]:
 def detect_language(text_col) -> Column:
     """Two-tier language ID, all native expressions (reference semantics
     model: language.py:66-138 wraps langdetect, ~50 languages; this covers
-    49 web languages deterministically):
+    60 web languages deterministically):
 
     1. script tier — per-char counts for 23 non-latin scripts; if the best
        non-latin script outnumbers latin letters, map script → language
        (``SCRIPT_LANG``). Multi-language scripts refine further: han with
-       any kana present → ja; cyrillic → ru/uk/bg/sr and arabic →
+       any kana present → ja; cyrillic → ru/uk/bg/sr/mk and arabic →
        ar/fa/ur by distinctive-character counts (``DISTINCTIVE_CHARS``).
-    2. latin tier — argmax over 21 per-language function-word hit ratios
+    2. latin tier — argmax over 31 per-language function-word hit ratios
        (``LANG_FUNCTION_WORDS``, dict order breaks ties, earliest wins)
        on the unicode-aware ``lang_tokens`` tokenizer; 'und'
        (undetermined) when nothing scores above the 0.02 floor.
@@ -266,7 +290,8 @@ def detect_language(text_col) -> Column:
         script0 = F.element_at(
             script_lit, F.array_position(nonlatin, nl_max).cast("int"))
         cyr_pick = (
-            F.when(dist("sr") > 0, F.lit("sr"))
+            F.when(dist("mk") > 0, F.lit("mk"))
+            .when(dist("sr") > 0, F.lit("sr"))
             .when((dist("uk") > 0) & (dist("uk") >= dist("ru")), F.lit("uk"))
             .when(dist("ru") > 0, F.lit("ru"))
             .when(dist("bg") > 0, F.lit("bg"))
@@ -301,7 +326,7 @@ def detect_language_df(df, text_col: str = "text", key_col: str = "doc_id",
                        out_col: str = "lang_detected"):
     """Scale form of :func:`detect_language`: identical output (tested for
     equivalence), different plan. The latin tier becomes
-    explode(tokens) ⋈ broadcast(word table) → count → argmax instead of 21
+    explode(tokens) ⋈ broadcast(word table) → count → argmax instead of 31
     per-language set-membership passes per row — measured 6× faster at 21
     languages on sf0.1 and the gap grows with language count, because per
     token it does ONE hash-join probe instead of 21 set probes. Script
@@ -342,7 +367,8 @@ def detect_language_df(df, text_col: str = "text", key_col: str = "doc_id",
     script0 = F.element_at(script_lit,
                            F.array_position(nonlatin, nl_max).cast("int"))
     d = {code: F.col(f"__d_{code}") for code in DISTINCTIVE_CHARS}
-    cyr_pick = (F.when(d["sr"] > 0, F.lit("sr"))
+    cyr_pick = (F.when(d["mk"] > 0, F.lit("mk"))
+                .when(d["sr"] > 0, F.lit("sr"))
                 .when((d["uk"] > 0) & (d["uk"] >= d["ru"]), F.lit("uk"))
                 .when(d["ru"] > 0, F.lit("ru"))
                 .when(d["bg"] > 0, F.lit("bg"))

@@ -58,12 +58,20 @@ def job_session(app: str, local_cores: int | None = None) -> SparkSession:
     return spark
 
 
-def read_pages(spark: SparkSession, source: str, fmt: str = "parquet"):
+def read_pages(spark: SparkSession, source: str, fmt: str = "parquet",
+               snapshot_id: int | None = None):
     """Load the input pages table (url, warc_ts, html, text, lang).
 
     ``fmt``: ``parquet`` (path), ``table`` (catalog name — Iceberg tables
-    resolve here when the submit command configures the catalog), or any
-    DataSource short name (``orc``, ``json``, ``iceberg`` with a path)."""
+    resolve here when the submit command configures the catalog),
+    ``iceberg`` (classpath-checked, supports ``snapshot_id`` time-travel
+    for resumable-build lineage), or any DataSource short name (``orc``,
+    ``json``)."""
     if fmt == "table":
         return spark.table(source)
+    if fmt == "iceberg":
+        from ..sources.registry import load_pages
+
+        return load_pages(spark, source, format="iceberg",
+                          snapshot_id=snapshot_id)
     return spark.read.format(fmt).load(source)

@@ -26,7 +26,12 @@ def main(argv: list[str] | None = None) -> None:
                     help="pages source: path (parquet/…) or catalog table")
     ap.add_argument("--format", default="parquet",
                     help="input format; 'table' = spark.table(name) "
-                         "(Iceberg via the submit-configured catalog)")
+                         "(Iceberg via the submit-configured catalog); "
+                         "'iceberg' = classpath-checked reader with "
+                         "--snapshot-id time travel")
+    ap.add_argument("--snapshot-id", type=int, default=None,
+                    help="pin an Iceberg snapshot (build lineage records "
+                         "it; resume reads the same snapshot)")
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--n-shards", type=int, default=32)
     ap.add_argument("--k1", type=float, default=1.5)
@@ -47,7 +52,8 @@ def main(argv: list[str] | None = None) -> None:
 
     spark = job_session("hse-build-index", args.local_cores)
     t0 = time.time()
-    pages = read_pages(spark, args.input, args.format)
+    pages = read_pages(spark, args.input, args.format,
+                       snapshot_id=args.snapshot_id)
     docs = pages_to_docs(pages, extract=not args.no_extract,
                          partitions=args.extract_partitions)
     result = build_index(

@@ -177,9 +177,10 @@ def test_detect_language(spark):
 
 
 def test_detect_language_wide(spark):
-    """U6 wide tier: latin function-word argmax (21 langs) + script tier
-    (23 non-latin scripts; han+kana → ja, cyrillic → ru/uk/bg/sr and
-    arabic → ar/fa/ur by distinctive-char sub-tiers) — 49 languages."""
+    """U6 wide tier: latin function-word argmax (31 langs) + script tier
+    (23 non-latin scripts; han+kana → ja, cyrillic → mk/sr/uk/ru/bg and
+    arabic → ar/fa/ur by distinctive-char sub-tiers) — 60 languages,
+    exceeding langdetect's 55 (reference language.py:66-138)."""
     from hybrid_search_engine_spark.contract_ext import LANG_PHRASES
     from hybrid_search_engine_spark.functions.analysis import detect_language
 
@@ -409,7 +410,7 @@ def test_autocomplete(spark):
 
 def test_detect_language_df_equivalence(spark, sf_dir):
     """The join-plan detect_language_df must agree with the Column form on
-    every fixture phrase (all 49 languages + und/mixed cases) and on the
+    every fixture phrase (all 60 languages + und/mixed cases) and on the
     real sf documents table."""
     from hybrid_search_engine_spark.contract_ext import LANG_PHRASES
     from hybrid_search_engine_spark.functions.analysis import (

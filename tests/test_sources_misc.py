@@ -162,3 +162,26 @@ def test_learned_weights_and_feedback_surfaces(spark):
     qs = query_stats(qh, fb).first()
     assert qs["total_queries"] == 12 and qs["unique_queries"] == 3
     assert qs["total_clicks"] == 6
+
+
+def test_load_pages_iceberg_guarded(spark, tmp_path):
+    """Iceberg surface: parquet path works; the iceberg path either loads
+    (runtime jars present) or raises the documented RuntimeError telling
+    the operator which --packages to submit with — never an opaque
+    ClassNotFound mid-plan."""
+    import pytest
+
+    from hybrid_search_engine_spark.sources.registry import (
+        _has_iceberg,
+        load_pages,
+    )
+
+    p = str(tmp_path / "pages.parquet")
+    spark.createDataFrame([("u1", "t")], "url string, text string") \
+        .write.parquet(p)
+    assert load_pages(spark, p).count() == 1
+    with pytest.raises(ValueError):
+        load_pages(spark, p, format="csv")
+    if not _has_iceberg(spark):  # this sandbox has no iceberg runtime
+        with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            load_pages(spark, "cat.db.pages", format="iceberg")
