@@ -179,10 +179,35 @@ def child_cluster(k: int, cores_per_exec: int, pages_path: str, out_json: str) -
     build_s = time.time() - t0
     t1 = time.time()
     execs = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
-    spark.stop()
     rec = {"k": k, "n_docs": n_docs, "build_s": round(build_s, 3),
            "docs_per_sec": round(n_docs / build_s, 1),
            "jvm_endpoints": execs}
+    if os.environ.get("HSE_MJ_QUERIES") == "1":
+        # query path on real executors: per-query latency (40 queries,
+        # pruned path, warm executor-side postings cache) + one-plan batch
+        from fixtures.gen_corpus import all_queries
+
+        from hybrid_search_engine_spark.build.manifest import IndexReader
+
+        queries = all_queries()
+        reader = IndexReader(spark, idx_dir, cache_postings=True)
+        lat = []
+        for q in queries[:40]:
+            tq = time.time()
+            reader.search(q, k=10).collect()
+            lat.append(time.time() - tq)
+        lat.sort()
+
+        def pct(p):
+            return round(lat[min(len(lat) - 1, int(p * len(lat)))] * 1000, 1)
+
+        tb = time.time()
+        n_rows = reader.search_batch(list(enumerate(queries)), k=10).count()
+        rec["query"] = {"p50_ms": pct(0.50), "p95_ms": pct(0.95),
+                        "p99_ms": pct(0.99), "n": len(lat),
+                        "batch_qps": round(len(queries) / (time.time() - tb), 1),
+                        "batch_rows": n_rows}
+    spark.stop()
     if eventlog_dir:
         time.sleep(2)  # let the event log flush
         m = _tally_eventlog(eventlog_dir, t0 * 1000, t1 * 1000)

@@ -192,6 +192,31 @@ def build_index(
     _log("statistics built")
 
     posting_path = os.path.join(index_dir, "postings")
+
+    # doc_stats depends only on the (already materialized) tf table — run
+    # its write CONCURRENTLY with the posting build instead of as a
+    # trailing serial stage (Spark schedules parallel jobs from separate
+    # threads in one session; FIFO pools interleave tasks). Saves one full
+    # job of wall-clock per build — part of the per-build fixed cost that
+    # strong-scaling runs pay 4× harder at 4× executors.
+    doc_stats_err: list = []
+    doc_stats_thread = None
+    if not simulate_crash:
+        import threading
+
+        def _write_doc_stats():
+            try:
+                (tf.select("doc_id", "doc_len").groupBy("doc_id")
+                 .agg(F.max("doc_len").alias("doc_len"))
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(index_dir, "stats", "doc_stats")))
+            except BaseException as e:  # surfaced after join()
+                doc_stats_err.append(e)
+
+        doc_stats_thread = threading.Thread(target=_write_doc_stats,
+                                            name="doc_stats_write")
+        doc_stats_thread.start()
+
     built = []
     if todo:
         postings = build_postings(
@@ -238,14 +263,15 @@ def build_index(
         append_manifest(index_dir, records)
         built = todo
 
-    # doc_stats table + corpus scalars (term_stats already written above;
-    # doc_stats derives from the tf table's attached doc_len — cheap scan)
-    if not simulate_crash:
-        (tf.select("doc_id", "doc_len").groupBy("doc_id")
-         .agg(F.max("doc_len").alias("doc_len"))
-         .write.mode("overwrite")
-         .parquet(os.path.join(index_dir, "stats", "doc_stats")))
+    # corpus scalars land only after the concurrent doc_stats write (and
+    # the postings above) committed — corpus.json is the "stats complete"
+    # marker the fast-resume path checks, so it must be written LAST
+    if doc_stats_thread is not None:
+        doc_stats_thread.join()
+        if doc_stats_err:
+            raise doc_stats_err[0]
         _log("stats tables written")
+    if not simulate_crash:
         with open(os.path.join(index_dir, "stats", "corpus.json"), "w") as f:
             json.dump({"doc_count": n_docs,
                        "avg_doc_len": avg_doc_len,

@@ -335,8 +335,11 @@ def detect_language_df(df, text_col: str = "text", key_col: str = "doc_id",
     join); rows per key after the join ≈ languages-with-hits ≈ 2-4, so the
     shuffle is tiny relative to the text. ``key_col`` must be unique.
 
-    Returns ``df`` plus ``out_col``. Reference semantics model:
-    language.py:66-138 (same two-tier rule as the Column form)."""
+    Returns ``df`` minus ``text_col`` plus ``out_col`` — the text column
+    is projected away BEFORE the key-grain hits join, so the shuffled left
+    side is (keys + a few fixed-width ints), never corpus text; re-join on
+    ``key_col`` if the caller needs the text back. Reference semantics
+    model: language.py:66-138 (same two-tier rule as the Column form)."""
     spark = df.sparkSession
     c = F.coalesce(F.col(text_col), F.lit(""))
     toks = lang_tokens(c)
@@ -346,7 +349,8 @@ def detect_language_df(df, text_col: str = "text", key_col: str = "doc_id",
          for n, p in LANG_SCRIPT_RANGES.items()]
         + [F.regexp_count(c, F.lit(p)).cast("int").alias(f"__d_{n}")
            for n, p in DISTINCTIVE_CHARS.items()])
-    base = df.select("*", F.size(toks).alias("__ntok"), *count_cols)
+    out_cols = [col for col in df.columns if col != text_col]
+    base = df.select(*out_cols, F.size(toks).alias("__ntok"), *count_cols)
 
     ex = df.select(F.col(key_col).alias("__key"), F.explode(toks).alias("word"))
     # pri = inverted dict index so that max(struct(cnt, pri, lang)) picks
@@ -385,7 +389,7 @@ def detect_language_df(df, text_col: str = "text", key_col: str = "doc_id",
         F.col("__best").isNull() | (F.col("__ntok") == 0)
         | (ratio <= F.lit(0.02)), F.lit("und")).otherwise(F.col("__best.lang"))
     out = F.when(nl_max > F.col("__c_latin"), script_pick).otherwise(latin_pick)
-    return joined.select(*[base[cname] for cname in df.columns],
+    return joined.select(*[base[cname] for cname in out_cols],
                          out.alias(out_col))
 
 
