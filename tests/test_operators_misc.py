@@ -435,3 +435,33 @@ def test_detect_language_df_equivalence(spark, sf_dir):
     b = {r["doc_id"]: r["lang_detected"] for r in
          detect_language_df(docs).collect()}
     assert a == b
+
+
+def test_script_counts_onepass_matches_regexp(spark, sf_dir):
+    """The vectorized codepoint-bucket counter must equal one regexp_count
+    per char class on every fixture phrase, the sf documents, and the
+    null/empty/astral edges (astral chars are single codepoints to the
+    UTF-32 scan but also single matches to java regex)."""
+    from hybrid_search_engine_spark.contract_ext import LANG_PHRASES
+    from hybrid_search_engine_spark.functions.analysis import (
+        DISTINCTIVE_CHARS,
+        LANG_SCRIPT_RANGES,
+        script_counts_onepass,
+    )
+
+    pats = list(LANG_SCRIPT_RANGES.values()) + list(DISTINCTIVE_CHARS.values())
+    rows = [(i, p) for i, (_, p) in enumerate(LANG_PHRASES)]
+    rows += [(900, ""), (901, None), (902, "aЀ\U0001d11e"),
+             (903, "їѓџыъ ٹپ a9")]
+    fx = spark.createDataFrame(rows, "doc_id int, text string")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    for df in (fx, docs):
+        c = F.coalesce(F.col("text"), F.lit(""))
+        regex_cols = [F.regexp_count(c, F.lit(p)).cast("int").alias(f"c{i}")
+                      for i, p in enumerate(pats)]
+        want = {r["doc_id"]: tuple(r[f"c{i}"] for i in range(len(pats)))
+                for r in df.select("doc_id", *regex_cols).collect()}
+        got = {r["doc_id"]: tuple(r["cnt"]) for r in df.select(
+            "doc_id", script_counts_onepass()(c).alias("cnt")).collect()}
+        assert got == want
