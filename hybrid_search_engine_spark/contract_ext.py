@@ -38,21 +38,20 @@ def q_minhash_sig(spark, sf_dir):
                                   for i in range(4)])
 
 
-_SHINGLES_SQL = """
-CASE WHEN length(t) >= 3
-     THEN list_transform(range(1, length(t) - 1),
-                         i -> substr(t, CAST(i AS INT), 3))
-     ELSE [t] END
-"""
-
-SQL_MINHASH_SIG = f"""
-WITH sh AS (
-  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS s
+# num_perm=4 → one salted md5 per shingle position, four 8-hex slices as
+# the four permutations (operators/dedup.py::minhash_signatures). range()
+# is end-exclusive in DuckDB: 1..greatest(n-2,1) == range(1, greatest(n-1,2)).
+SQL_MINHASH_SIG = """
+WITH pos AS (
+  SELECT doc_id, t,
+         unnest(range(1, greatest(length(t) - 1, 2))) AS i
   FROM (SELECT doc_id, coalesce(text,'') AS t FROM documents)
+), sh AS (
+  SELECT doc_id, md5('0:' || substr(t, CAST(i AS INT), 3)) AS h FROM pos
 )
 SELECT doc_id,
-       min(md5('0:' || s)) AS s0, min(md5('1:' || s)) AS s1,
-       min(md5('2:' || s)) AS s2, min(md5('3:' || s)) AS s3
+       min(substr(h, 1, 8)) AS s0, min(substr(h, 9, 8)) AS s1,
+       min(substr(h, 17, 8)) AS s2, min(substr(h, 25, 8)) AS s3
 FROM sh GROUP BY doc_id
 """
 

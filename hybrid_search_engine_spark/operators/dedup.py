@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_native, tokens_native_keep_order
+from ..sources.registry import spread
 
 
 # ---------------------------------------------------------------------------
@@ -106,20 +107,53 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        shingle_k: int = 3) -> DataFrame:
     """→ (doc_id, sig array<string>[num_perm]).
 
-    sig_i = min(md5(i || ':' || shingle)): md5 output is uniform, so the min
-    over a set behaves as an independent permutation per i — the standard
-    MinHash estimator, expressed portably. explode+groupBy keeps it fully
-    map-side-combinable (min is algebraic)."""
-    sh = docs.select(
+    Portable (SQL-replayable) tier. sig_i is the min, over the doc's
+    shingle multiset, of an 8-hex-char SLICE of a salted md5: shingle →
+    md5(g ':' shingle) for g = i//4, sliced at [8·(i%4), 8·(i%4)+8).
+    Distinct 32-bit slices of one md5 are independent uniform values, so
+    four permutations share each md5 call — 4× fewer digests than the
+    naive min(md5(i ':' shingle)) per i, with the same estimator family
+    (the statistical-agreement test in test_dedup.py pins it against both
+    the xxhash64 tier and exact Jaccard). Two more deliberate choices:
+
+    - shingles come from exploding window POSITIONS and slicing with a
+      plain ``substr`` column (whole-stage codegen), not an interpreted
+      array HOF — measured ~2× on the sf0.1 contract row;
+    - no distinct pass: min over the multiset equals min over the set.
+
+    min stays algebraic → map-side combine bounds the shuffle at
+    (docs × num_perm) regardless of shingle count. Fixed-width lowercase
+    hex means string min == numeric min.
+
+    ``spread`` matters HERE and (measured) nowhere else among the per-doc
+    operators: min over a var-length string has no mutable fixed-size
+    aggregation buffer, so Spark plans a SortAggregate — on a single-split
+    input the partial sort+agg of every shingle row serializes on one core
+    (2.1× on the sf0.1 contract row). Hash-agg and join-form operators
+    parallelize via their own exchanges and only pay for the extra one."""
+    docs = spread(docs)
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n_groups = -(-num_perm // 4)
+    # positions 1..max(n-k+1, 1): substr clamps, so a doc shorter than k
+    # yields the whole string as its single shingle (char_shingles parity)
+    pos = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(char_shingles(F.col(text_col), shingle_k))
-                  ).alias("shingle"),
+        c.alias("t"),
+        F.explode(F.sequence(
+            F.lit(1),
+            F.greatest(F.length(c) - (shingle_k - 1), F.lit(1)))).alias("i"),
     )
+    hs = pos.select("doc_id", *[
+        F.md5(F.concat(F.lit(f"{g}:"),
+                       F.col("t").substr(F.col("i"), F.lit(shingle_k))
+                       )).alias(f"h{g}")
+        for g in range(n_groups)
+    ])
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"s{i}")
+        F.min(F.substring(F.col(f"h{i // 4}"), (i % 4) * 8 + 1, 8)).alias(f"s{i}")
         for i in range(num_perm)
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    sig = hs.groupBy("doc_id").agg(*aggs)
     return sig.select(
         "doc_id", F.array(*[F.col(f"s{i}") for i in range(num_perm)]).alias("sig")
     )

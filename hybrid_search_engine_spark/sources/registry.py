@@ -62,6 +62,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Widen a too-narrow scan to the session's parallelism.
+
+    A small fixture (or any single-row-group parquet) arrives as ONE input
+    split, which serializes every downstream per-row stage on one core. At
+    real scale a scan has thousands of splits and this is a no-op: the
+    repartition only fires when the plan's partition count is below the
+    target, and an explicit numPartitions repartition is never
+    AQE-coalesced back down. Apply it AFTER any source filters (so
+    predicate pushdown still reaches the scan).
+
+    Use it SELECTIVELY: the exchange it adds costs a stage + a shuffle, so
+    it only pays where downstream per-row work cannot parallelize any
+    other way. Measured at sf0.1/local[32]: 2.1× win for the md5 MinHash
+    tier (SortAggregate partial — no other exchange to lean on), a LOSS
+    for every hash-agg/join-form per-doc operator tried (doc_term_tf
+    0.45→1.20 s, lang_detect 1.30→2.61 s, knn_batch 0.74→1.15 s), whose
+    own exchanges already spread the heavy stages."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 
