@@ -383,10 +383,12 @@ FROM events GROUP BY event_type
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
+    from .operators.dedup import norm_content
+
     d = _docs(spark, sf_dir)
     w = Window.partitionBy("h")
     return (
-        d.withColumn("h", F.sha2(F.col("text"), 256))
+        d.withColumn("h", F.sha2(norm_content(F.col("text")), 256))
         .withColumn("canonical_doc_id", F.min("doc_id").over(w))
         .select(
             "doc_id",
@@ -396,10 +398,16 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
-SQL_DEDUP_EXACT = """
+# lower(trim(..)) = the reference's content normalization before hashing
+# (deduplication.py:111-125); the trim char set is Python str.strip()'s
+# ASCII whitespace
+NORM_SQL = ("lower(trim(coalesce(text,''), ' ' || chr(9) || chr(10) || "
+            "chr(13) || chr(11) || chr(12)))")
+
+SQL_DEDUP_EXACT = f"""
 SELECT doc_id,
-       min(doc_id) OVER (PARTITION BY sha256(coalesce(text,''))) AS canonical_doc_id,
-       doc_id <> min(doc_id) OVER (PARTITION BY sha256(coalesce(text,''))) AS is_duplicate
+       min(doc_id) OVER (PARTITION BY sha256({NORM_SQL})) AS canonical_doc_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY sha256({NORM_SQL})) AS is_duplicate
 FROM documents
 """
 

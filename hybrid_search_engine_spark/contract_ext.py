@@ -45,7 +45,10 @@ SQL_MINHASH_SIG = """
 WITH pos AS (
   SELECT doc_id, t,
          unnest(range(1, greatest(length(t) - 1, 2))) AS i
-  FROM (SELECT doc_id, coalesce(text,'') AS t FROM documents)
+  FROM (SELECT doc_id,
+               lower(trim(coalesce(text,''), ' ' || chr(9) || chr(10) ||
+                          chr(13) || chr(11) || chr(12))) AS t
+        FROM documents)
 ), sh AS (
   SELECT doc_id, md5('0:' || substr(t, CAST(i AS INT), 3)) AS h FROM pos
 )
@@ -545,9 +548,11 @@ def q_chunk_sentences(spark, sf_dir):
 SQL_CHUNK_SENTENCES = r"""
 WITH l AS (
   SELECT doc_id,
-         list_filter(string_split(
+         list_filter(list_transform(string_split(
            regexp_replace(coalesce(text,''), '([.!?])\s+', '\1' || chr(1), 'g'),
-           chr(1)), x -> trim(x) <> '') AS parts
+           chr(1)),
+           x -> trim(x, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))),
+           x -> x <> '') AS parts
   FROM documents
 )
 SELECT doc_id,
@@ -818,17 +823,19 @@ hit AS (
 ),
 agg AS (
   SELECT sum(rel) AS n_hits,
+         count(*) AS n_returned,
          min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
          sum(CASE WHEN rel = 1 THEN 1.0 / log2(rank + 1) ELSE 0.0 END) AS dcg,
          (SELECT count(*) FROM truth) AS n_relevant
   FROM hit
 )
+-- precision divides by rows retrieved (evaluation.py:82-88), not by k
 SELECT 0 AS query_id,
-  round(n_hits / 10.0, 6) AS precision_r,
+  round(n_hits::DOUBLE / n_returned, 6) AS precision_r,
   round(CASE WHEN n_relevant > 0 THEN n_hits::DOUBLE / n_relevant ELSE 0.0 END, 6) AS recall_r,
-  round(CASE WHEN n_hits / 10.0 + CASE WHEN n_relevant > 0 THEN n_hits::DOUBLE / n_relevant ELSE 0.0 END > 0
-        THEN 2 * (n_hits / 10.0) * (CASE WHEN n_relevant > 0 THEN n_hits::DOUBLE / n_relevant ELSE 0.0 END)
-             / (n_hits / 10.0 + CASE WHEN n_relevant > 0 THEN n_hits::DOUBLE / n_relevant ELSE 0.0 END)
+  round(CASE WHEN n_hits::DOUBLE / n_returned + CASE WHEN n_relevant > 0 THEN n_hits::DOUBLE / n_relevant ELSE 0.0 END > 0
+        THEN 2 * (n_hits::DOUBLE / n_returned) * (CASE WHEN n_relevant > 0 THEN n_hits::DOUBLE / n_relevant ELSE 0.0 END)
+             / (n_hits::DOUBLE / n_returned + CASE WHEN n_relevant > 0 THEN n_hits::DOUBLE / n_relevant ELSE 0.0 END)
         ELSE 0.0 END, 6) AS f1_r,
   round(CASE WHEN first_rel IS NOT NULL THEN 1.0 / first_rel ELSE 0.0 END, 6) AS mrr_r,
   round(CASE WHEN n_relevant > 0 THEN
@@ -1175,9 +1182,11 @@ _BC_TERMS = "[" + ",".join(f"'{t}'" for t in FLAGSHIP_TERMS) + "]"
 SQL_BEST_CHUNK = f"""
 WITH l AS (
   SELECT doc_id,
-         list_filter(string_split(
+         list_filter(list_transform(string_split(
            regexp_replace(coalesce(text,''), '([.!?])\\s+', '\\1' || chr(1), 'g'),
-           chr(1)), x -> trim(x) <> '') AS parts
+           chr(1)),
+           x -> trim(x, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))),
+           x -> x <> '') AS parts
   FROM documents
 ),
 c AS (
@@ -1359,7 +1368,10 @@ def q_dedup_action(spark, sf_dir):
 
 
 SQL_DEDUP_ACTION = """
-WITH h AS (SELECT doc_id, sha256(coalesce(text,'')) AS ch FROM documents),
+WITH h AS (SELECT doc_id,
+                  sha256(lower(trim(coalesce(text,''), ' ' || chr(9) ||
+                         chr(10) || chr(13) || chr(11) || chr(12)))) AS ch
+           FROM documents),
 g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY ch) AS canon FROM h),
 pairs AS (SELECT canon AS doc_a, doc_id AS doc_b FROM g WHERE doc_id <> canon),
 canonmap AS (SELECT doc_b AS doc_id, min(doc_a) AS canonical_doc_id

@@ -36,6 +36,19 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens_native, tokens_native_keep_order
 from ..sources.registry import spread
 
+# Python str.strip()'s ASCII whitespace set — the reference normalizes
+# content with .lower().strip() before hashing/shingling
+# (deduplication.py:104-125); parity-tested directly against the
+# reference implementation in tests/test_reference_parity_ops.py.
+PY_WS = " \t\n\r\x0b\x0c"
+
+
+def norm_content(col) -> F.Column:
+    """content.lower().strip() (deduplication.py:104,124) as a native
+    expression — the shared normalization for exact hash and shingles."""
+    c = F.coalesce(col if not isinstance(col, str) else F.col(col), F.lit(""))
+    return F.lower(F.btrim(c, F.lit(PY_WS)))
+
 
 # ---------------------------------------------------------------------------
 # exact
@@ -43,12 +56,13 @@ from ..sources.registry import spread
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
-    """→ (doc_id, canonical_doc_id, is_duplicate): sha2-256 groups, min id
+    """→ (doc_id, canonical_doc_id, is_duplicate): sha2-256 groups over
+    lower().strip()-normalized content (deduplication.py:111-125), min id
     canonical. One window over the hash — a single shuffle."""
     w = Window.partitionBy("content_hash")
     return (
         docs.withColumn("content_hash",
-                        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256))
+                        F.sha2(norm_content(F.col(text_col)), 256))
         .withColumn("canonical_doc_id", F.min(id_col).over(w))
         .select(
             F.col(id_col).alias("doc_id"),
@@ -91,9 +105,12 @@ def apply_dedup_action(docs: DataFrame, pairs: DataFrame,
 # ---------------------------------------------------------------------------
 
 def char_shingles(col, k: int = 3):
-    """Character k-shingles as a native expression (deduplication.py:104-109
-    semantics: sliding window over the raw string)."""
-    c = F.coalesce(col if not isinstance(col, str) else F.col(col), F.lit(""))
+    """Character k-shingles as a native expression (deduplication.py:104-109:
+    sliding window over the lower().strip()-normalized string; a non-empty
+    text shorter than k yields itself as the single shingle — for empty
+    text the reference returns [], we keep [''] so every doc retains a
+    signature row)."""
+    c = norm_content(col)
     n = F.length(c)
     return F.when(
         n >= k,
@@ -132,7 +149,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     (2.1× on the sf0.1 contract row). Hash-agg and join-form operators
     parallelize via their own exchanges and only pay for the extra one."""
     docs = spread(docs)
-    c = F.coalesce(F.col(text_col), F.lit(""))
+    c = norm_content(F.col(text_col))
     n_groups = -(-num_perm // 4)
     # positions 1..max(n-k+1, 1): substr clamps, so a doc shorter than k
     # yields the whole string as its single shingle (char_shingles parity)
@@ -194,7 +211,9 @@ def _minhash_sig_udf(num_perm: int, k: int):
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(s: pd.Series) -> pd.Series:
-        vals = s.fillna("").tolist()
+        # .lower().strip() = the reference's content normalization
+        # (deduplication.py:104) — same rule as norm_content()
+        vals = s.fillna("").str.lower().str.strip().tolist()
         n = len(vals)
         if n == 0:
             return pd.Series([], dtype=object)

@@ -180,7 +180,9 @@ def evaluate_rankings(results: DataFrame, truth: DataFrame, k: int = 10
     """results(query_id, rank, doc_id) × truth(query_id, doc_id relevant)
     → per-query precision@k, recall@k, f1, mrr (reciprocal rank of first
     relevant), ndcg@k (binary gains, log2(i+1) discount at 1-based rank i+1
-    — evaluation.py:113-126)."""
+    — evaluation.py:113-126). Precision divides by the number of rows
+    actually retrieved (≤ k), matching evaluation.py:82-88 — not by k —
+    so sparse queries aren't penalized twice."""
     r = results.where(F.col("rank") <= k)
     hit = r.join(truth.withColumn("rel", F.lit(1)), ["query_id", "doc_id"],
                  "left").fillna({"rel": 0})
@@ -204,7 +206,8 @@ def evaluate_rankings(results: DataFrame, truth: DataFrame, k: int = 10
         F.lit(0.0).cast("double"),
         lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0),
     )
-    prec = F.col("n_hits") / F.lit(float(k))
+    prec = F.when(F.col("n_returned") > 0,
+                  F.col("n_hits") / F.col("n_returned")).otherwise(F.lit(0.0))
     rec = F.when(F.col("n_relevant") > 0,
                  F.col("n_hits") / F.col("n_relevant")).otherwise(F.lit(0.0))
     return per_q.select(

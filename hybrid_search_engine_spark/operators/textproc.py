@@ -27,31 +27,101 @@ from ..functions.text import tokens_native
 # ---------------------------------------------------------------------------
 
 def split_sentences(text_col) -> Column:
-    """Java regex supports the lookbehind the reference uses."""
+    """Sentence split, each part stripped (chunker.py:42-45: the reference
+    strips the text and every sentence). Java regex supports the
+    lookbehind the reference uses."""
+    from .dedup import PY_WS
+
     c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col,
                    F.lit(""))
-    return F.filter(F.split(c, r"(?<=[.!?])\s+"), lambda x: F.trim(x) != "")
+    parts = F.transform(F.split(c, r"(?<=[.!?])\s+"),
+                        lambda x: F.btrim(x, F.lit(PY_WS)))
+    return F.filter(parts, lambda x: x != "")
 
 
 def split_paragraphs(text_col) -> Column:
+    """Paragraph split on blank lines, each part stripped
+    (chunker.py:88-90)."""
+    from .dedup import PY_WS
+
     c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col,
                    F.lit(""))
-    return F.filter(F.split(c, r"\n\s*\n"), lambda x: F.trim(x) != "")
+    parts = F.transform(F.split(c, r"\n\s*\n"),
+                        lambda x: F.btrim(x, F.lit(PY_WS)))
+    return F.filter(parts, lambda x: x != "")
 
 
 def chunk_documents(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", mode: str = "sentence",
-                    chunk_tokens: int = 64, overlap: int = 16) -> DataFrame:
-    """→ (doc_id, chunk_id, chunk_text). mode ∈ sentence|paragraph|fixed.
+                    chunk_tokens: int = 64, overlap: int = 16,
+                    max_sentences: int = 1, overlap_sentences: int = 0,
+                    window_chars: int = 512, overlap_chars: int = 128
+                    ) -> DataFrame:
+    """→ (doc_id, chunk_id, chunk_text). mode ∈ sentence|paragraph|fixed|chars.
 
-    fixed mode: sliding token windows of `chunk_tokens` with `overlap`
-    (chunker.py fixed chunker semantics) via sequence+explode — no UDF."""
+    sentence mode with ``max_sentences`` > 1 groups consecutive sentences
+    into space-joined windows stepping ``max_sentences - overlap_sentences``
+    (chunker.py SentenceChunker:47-73; its defaults are 3/1). The default
+    1/0 keeps one sentence per chunk.
+
+    fixed mode: sliding TOKEN windows of `chunk_tokens` with `overlap`.
+
+    chars mode: sliding CHARACTER windows of ``window_chars`` with
+    ``overlap_chars``, each window stripped, empty windows dropped without
+    consuming a chunk_id, iteration stopping once a window reaches the end
+    of the text (chunker.py SlidingWindowChunker:165-199 — parity-tested
+    directly against the reference in tests/test_reference_parity_ops.py).
+
+    All modes are native sequence/transform/posexplode plans — no UDF."""
     if mode in ("sentence", "paragraph"):
         parts = (split_sentences(text_col) if mode == "sentence"
                  else split_paragraphs(text_col))
+        if mode == "sentence" and max_sentences > 1:
+            step = max_sentences - overlap_sentences
+            if step <= 0:  # chunker.py:69-71 degenerate-overlap guard
+                step = max_sentences
+            n = F.size(parts)
+            starts = F.filter(
+                F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)),
+                           F.lit(step)),
+                lambda i: i < n)
+            chunks = F.transform(
+                starts,
+                lambda i: F.concat_ws(
+                    " ", F.slice(parts, i + 1, F.lit(max_sentences))))
+            return docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.posexplode(chunks).alias("chunk_id", "chunk_text"))
         ex = docs.select(F.col(id_col).alias("doc_id"),
                          F.posexplode(parts).alias("chunk_id", "chunk_text"))
         return ex
+    if mode == "paragraph_merged":
+        from pyspark.sql import types as T
+
+        udf = _paragraph_merge_udf()
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(udf(F.coalesce(
+                F.col(text_col) if isinstance(text_col, str) else text_col,
+                F.lit("")))).alias("chunk_id", "chunk_text"))
+    if mode == "chars":
+        from .dedup import PY_WS
+
+        step = max(1, window_chars - overlap_chars)
+        c = F.coalesce(F.col(text_col) if isinstance(text_col, str)
+                       else text_col, F.lit(""))
+        n = F.length(c)
+        starts = F.filter(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)),
+            # stop once the previous window already reached the end
+            lambda i: (i < n) & ((i == 0) | (i - step + window_chars < n)))
+        windows = F.filter(
+            F.transform(starts, lambda i: F.btrim(
+                c.substr(i + 1, F.lit(window_chars)), F.lit(PY_WS))),
+            lambda x: x != "")
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(windows).alias("chunk_id", "chunk_text"))
     if mode != "fixed":
         raise ValueError(mode)
     step = max(1, chunk_tokens - overlap)
@@ -71,6 +141,69 @@ def chunk_documents(docs: DataFrame, text_col: str = "text",
                                      F.lit(chunk_tokens))).alias("chunk_text"),
         )
     )
+
+
+def merge_paragraph_chunks(text: str, min_length: int = 50,
+                           max_length: int = 1000) -> list[str]:
+    """The reference ParagraphChunker's sequential merge (chunker.py:87-163),
+    mirrored step for step: paragraphs under ``max_length`` are greedily
+    packed into "\\n\\n"-joined chunks; an over-long paragraph flushes the
+    pack and is sub-split by SentenceChunker(5, 1); a final pack shorter
+    than ``min_length`` is appended to the previous chunk if one exists.
+    Pure per-document logic — the Spark surface wraps it in an Arrow UDF
+    (chunk_documents mode='paragraph_merged'); parity-tested directly
+    against the reference class in tests/test_reference_parity_ops.py."""
+    paragraphs = [p.strip() for p in re.split(r"\n\s*\n", text.strip())
+                  if p.strip()]
+    chunks: list[str] = []
+    current = ""
+    for para in paragraphs:
+        if len(para) > max_length:
+            if current:
+                chunks.append(current)
+                current = ""
+            sents = [s.strip() for s in re.split(r"(?<=[.!?])\s+",
+                                                 para.strip()) if s.strip()]
+            i = 0
+            while i < len(sents):
+                end = min(i + 5, len(sents))
+                chunks.append(" ".join(sents[i:end]))
+                i += 4  # SentenceChunker(5, 1) step (chunker.py:165-171)
+        else:
+            if len(current) + len(para) + 1 <= max_length:
+                current = current + "\n\n" + para if current else para
+            else:
+                if current:
+                    chunks.append(current)
+                current = para
+    if current and len(current) >= min_length:
+        chunks.append(current)
+    elif current and chunks:
+        chunks[-1] += "\n\n" + current
+    elif current:
+        chunks.append(current)
+    return chunks
+
+
+_PARA_UDF = []
+
+
+def _paragraph_merge_udf():
+    if _PARA_UDF:
+        return _PARA_UDF[0]
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from .. import ensure_udf_serializable
+
+    ensure_udf_serializable()
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _merge(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: merge_paragraph_chunks(t or ""))
+
+    _PARA_UDF.append(_merge)
+    return _merge
 
 
 def best_chunk_per_doc(chunk_scores: DataFrame, id_col: str = "doc_id",
