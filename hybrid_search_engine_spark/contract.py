@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.text import (
+    WS_CHARS_SQL,
+    WS_CLASS_SQL,
     doc_metadata_cols,
     preprocess_native,
     tokens_native,
@@ -192,18 +194,73 @@ ORDER BY round(score, 9) DESC, doc_id LIMIT {k}
 SQL_BM25_TOPK = _bm25_sql(FLAGSHIP_TERMS)
 
 # ---------------------------------------------------------------------------
+# Planted unicode-whitespace docs — unioned into the preprocess and
+# dedup_exact contract queries on BOTH engines, so the oracle hash gate
+# exercises the unicode strip/collapse path (driver testdata text is
+# ASCII-only). 900000003/900000004 differ only in surrounding unicode
+# whitespace, so dedup_exact must group them — under an ASCII trim set
+# they would hash apart.
+# ---------------------------------------------------------------------------
+
+PLANTED_WS_DOCS = [
+    (900000001, " \u00a0Hello\u00a0world.\u2028Next\tline.\u3000"),
+    (900000002, "\u2009thin\u200aspaces\u0085and\u202fNEL\u1680mark"),
+    (900000003, "\u00a0\u3000Duplicate Body.\u2028\u2029"),
+    (900000004, "\t Duplicate Body. \u2000"),
+]
+
+
+def _sql_str(s: str) -> str:
+    """DuckDB expression for a string literal, non-ASCII spelled as chr()
+    concats so the oracle SQL text stays pure ASCII."""
+    if not s:
+        return "''"
+    parts: list[str] = []
+    run = ""
+    for ch in s:
+        if 32 <= ord(ch) < 127 and ch != "'":
+            run += ch
+        else:
+            if run:
+                parts.append(f"'{run}'")
+                run = ""
+            parts.append(f"chr({ord(ch)})")
+    if run:
+        parts.append(f"'{run}'")
+    return " || ".join(parts)
+
+
+_PLANTED_WS_SQL = " UNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS doc_id, {_sql_str(t)} AS text"
+    for i, t in PLANTED_WS_DOCS)
+DOCS_PLUS_PLANTED_SQL = (
+    f"(SELECT doc_id, text FROM documents UNION ALL {_PLANTED_WS_SQL})")
+
+
+def _docs_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    p = spark.createDataFrame(PLANTED_WS_DOCS, schema="doc_id long, text string")
+    return d.unionByName(p)
+
+
+# ---------------------------------------------------------------------------
 # P2: preprocess (whitespace normalization)
 # ---------------------------------------------------------------------------
 
 def q_preprocess(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
+    return _docs_with_planted(spark, sf_dir).select(
         "doc_id", preprocess_native("text").alias("norm_text")
     )
 
 
-SQL_PREPROCESS = r"""
-SELECT doc_id, regexp_replace(trim(coalesce(text,'')), '\s+', ' ', 'g') AS norm_text
-FROM documents
+# trim set + class are the Python unicode whitespace set (functions/text.py
+# PY_WS) — DuckDB's bare trim() strips only U+0020 and RE2's \s is ASCII,
+# while the parity semantics are Python str.strip() / re \s (unicode).
+SQL_PREPROCESS = f"""
+SELECT doc_id,
+       regexp_replace(trim(coalesce(text,''), {WS_CHARS_SQL}),
+                      '{WS_CLASS_SQL}+', ' ', 'g') AS norm_text
+FROM {DOCS_PLUS_PLANTED_SQL} documents
 """
 
 # ---------------------------------------------------------------------------
@@ -385,7 +442,7 @@ FROM events GROUP BY event_type
 def q_dedup_exact(spark, sf_dir):
     from .operators.dedup import norm_content
 
-    d = _docs(spark, sf_dir)
+    d = _docs_with_planted(spark, sf_dir)
     w = Window.partitionBy("h")
     return (
         d.withColumn("h", F.sha2(norm_content(F.col("text")), 256))
@@ -400,15 +457,14 @@ def q_dedup_exact(spark, sf_dir):
 
 # lower(trim(..)) = the reference's content normalization before hashing
 # (deduplication.py:111-125); the trim char set is Python str.strip()'s
-# ASCII whitespace
-NORM_SQL = ("lower(trim(coalesce(text,''), ' ' || chr(9) || chr(10) || "
-            "chr(13) || chr(11) || chr(12)))")
+# unicode whitespace set (29 code points — functions/text.py PY_WS)
+NORM_SQL = f"lower(trim(coalesce(text,''), {WS_CHARS_SQL}))"
 
 SQL_DEDUP_EXACT = f"""
 SELECT doc_id,
        min(doc_id) OVER (PARTITION BY sha256({NORM_SQL})) AS canonical_doc_id,
        doc_id <> min(doc_id) OVER (PARTITION BY sha256({NORM_SQL})) AS is_duplicate
-FROM documents
+FROM {DOCS_PLUS_PLANTED_SQL} documents
 """
 
 # ---------------------------------------------------------------------------

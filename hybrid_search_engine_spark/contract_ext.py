@@ -12,7 +12,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .contract import FLAGSHIP_QUERY, FLAGSHIP_TERMS, STOP_SQL, TOK_SQL, _docs
+from .contract import (FLAGSHIP_QUERY, FLAGSHIP_TERMS, NORM_SQL, STOP_SQL,
+                       TOK_SQL, _docs)
+from .functions.text import NONWS_CLASS_SQL, WS_CHARS_SQL, WS_CLASS_SQL
 from .functions.analysis import (
     LANG_FUNCTION_WORDS,
     content_fingerprint,
@@ -41,14 +43,11 @@ def q_minhash_sig(spark, sf_dir):
 # num_perm=4 → one salted md5 per shingle position, four 8-hex slices as
 # the four permutations (operators/dedup.py::minhash_signatures). range()
 # is end-exclusive in DuckDB: 1..greatest(n-2,1) == range(1, greatest(n-1,2)).
-SQL_MINHASH_SIG = """
+SQL_MINHASH_SIG = f"""
 WITH pos AS (
   SELECT doc_id, t,
          unnest(range(1, greatest(length(t) - 1, 2))) AS i
-  FROM (SELECT doc_id,
-               lower(trim(coalesce(text,''), ' ' || chr(9) || chr(10) ||
-                          chr(13) || chr(11) || chr(12))) AS t
-        FROM documents)
+  FROM (SELECT doc_id, {NORM_SQL} AS t FROM documents)
 ), sh AS (
   SELECT doc_id, md5('0:' || substr(t, CAST(i AS INT), 3)) AS h FROM pos
 )
@@ -507,14 +506,17 @@ def q_token_counts(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", *token_count_columns("text"))
 
 
+# ws_word_count = len(text.split()) — runs of unicode non-whitespace
+# (Python str.split semantics; RE2 \s is ASCII-only, hence the explicit
+# class from functions/text.py)
 SQL_TOKEN_COUNTS = rf"""
 SELECT doc_id,
-  CAST(len(list_filter(string_split_regex(trim(coalesce(text,'')), '\s+'),
-           x -> x <> '')) AS INTEGER) AS ws_word_count,
+  CAST(len(regexp_extract_all(coalesce(text,''), '{NONWS_CLASS_SQL}+'))
+       AS INTEGER) AS ws_word_count,
   CAST(len({TOK_ALL}) AS INTEGER) AS regex_token_count,
   greatest(
-    CAST(len(list_filter(string_split_regex(trim(coalesce(text,'')), '\s+'),
-             x -> x <> '')) AS BIGINT),
+    CAST(len(regexp_extract_all(coalesce(text,''), '{NONWS_CLASS_SQL}+'))
+         AS BIGINT),
     CAST(ceil(length(coalesce(text,'')) / 4.0) AS BIGINT)) AS subword_estimate
 FROM documents
 """
@@ -545,13 +547,14 @@ def q_chunk_sentences(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), mode="sentence")
 
 
-SQL_CHUNK_SENTENCES = r"""
+SQL_CHUNK_SENTENCES = rf"""
 WITH l AS (
   SELECT doc_id,
          list_filter(list_transform(string_split(
-           regexp_replace(coalesce(text,''), '([.!?])\s+', '\1' || chr(1), 'g'),
+           regexp_replace(coalesce(text,''), '([.!?]){WS_CLASS_SQL}+',
+                          '\1' || chr(1), 'g'),
            chr(1)),
-           x -> trim(x, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))),
+           x -> trim(x, {WS_CHARS_SQL})),
            x -> x <> '') AS parts
   FROM documents
 )
@@ -1183,9 +1186,10 @@ SQL_BEST_CHUNK = f"""
 WITH l AS (
   SELECT doc_id,
          list_filter(list_transform(string_split(
-           regexp_replace(coalesce(text,''), '([.!?])\\s+', '\\1' || chr(1), 'g'),
+           regexp_replace(coalesce(text,''), '([.!?]){WS_CLASS_SQL}+',
+                          '\\1' || chr(1), 'g'),
            chr(1)),
-           x -> trim(x, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))),
+           x -> trim(x, {WS_CHARS_SQL})),
            x -> x <> '') AS parts
   FROM documents
 ),
@@ -1367,10 +1371,8 @@ def q_dedup_action(spark, sf_dir):
     return out.select("doc_id", "canonical_doc_id", "is_duplicate")
 
 
-SQL_DEDUP_ACTION = """
-WITH h AS (SELECT doc_id,
-                  sha256(lower(trim(coalesce(text,''), ' ' || chr(9) ||
-                         chr(10) || chr(13) || chr(11) || chr(12)))) AS ch
+SQL_DEDUP_ACTION = f"""
+WITH h AS (SELECT doc_id, sha256({NORM_SQL}) AS ch
            FROM documents),
 g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY ch) AS canon FROM h),
 pairs AS (SELECT canon AS doc_a, doc_id AS doc_b FROM g WHERE doc_id <> canon),

@@ -20,7 +20,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..reference_semantics import STOPWORDS
-from .text import tokens_native
+from .text import NONWS_CLASS, tokens_native
 
 # Function-word lists for the latin-script language-ID heuristic. English
 # list = the reference stopword set; others are standard closed-class words.
@@ -517,9 +517,11 @@ def token_count_columns(text_col) -> list[Column]:
     standard quick estimator for LLM token budgeting)."""
     c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col,
                    F.lit(""))
-    # positive class (\S+ runs) — same multiset as split-on-\s+ minus
-    # empties, without the slow negated-predicate regex path or filter HOF
-    ws_words = F.size(F.regexp_extract_all(c, F.lit(r"\S+"), 0))
+    # positive class (runs of non-whitespace) — same multiset as Python
+    # str.split() minus empties, without the slow negated-predicate regex
+    # path or filter HOF. The explicit class is Python's unicode \S (Java
+    # \S is ASCII-complement and would glue NBSP-separated words together).
+    ws_words = F.size(F.regexp_extract_all(c, F.lit(NONWS_CLASS + "+"), 0))
     rx_tokens = F.size(tokens_native(c))
     subword_est = F.greatest(
         ws_words.cast("long"),

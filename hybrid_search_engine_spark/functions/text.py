@@ -38,6 +38,26 @@ from ..reference_semantics import (
 
 STOPWORDS_SORTED = sorted(STOPWORDS)
 
+# Python's whitespace set: the 29 BMP code points where str.isspace() is
+# true — identical to what `str.strip()` (no args) strips and what Python
+# `re \s` matches on str. Java and RE2 `\s` are ASCII-only, so every
+# JVM-native form that mirrors a reference `.strip()` / `.split()` /
+# `\s` uses these explicit sets instead (web text is full of U+00A0).
+PY_WS = ("\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+         + "".join(map(chr, range(0x2000, 0x200B)))
+         + "\u2028\u2029\u202f\u205f\u3000")
+assert len(PY_WS) == 29 and all(c.isspace() for c in PY_WS)
+# regex char classes — the literal chars are class-safe in both Java and
+# RE2 (none of ]^-\ are whitespace)
+WS_CLASS = "[" + PY_WS + "]"
+NONWS_CLASS = "[^" + PY_WS + "]"
+# SQL-side equivalents for the DuckDB oracles: a chr()-concat trim set and
+# \x{..}-escaped classes (RE2 hex escapes; keeps the SQL text ASCII)
+WS_CHARS_SQL = " || ".join(f"chr({ord(c)})" for c in PY_WS)
+WS_CLASS_SQL = "[" + "".join(f"\\x{{{ord(c):02x}}}" for c in PY_WS) + "]"
+NONWS_CLASS_SQL = ("[^" + "".join(f"\\x{{{ord(c):02x}}}" for c in PY_WS)
+                   + "]")
+
 
 # --------------------------------------------------------------------------
 # Parity tier — Arrow pandas UDFs
@@ -108,10 +128,11 @@ def tokens_native_keep_order(col: Column | str, remove_stopwords: bool = False) 
 
 
 def preprocess_native(col: Column | str) -> Column:
-    """JVM whitespace normalization — ASCII-equivalent to the parity UDF
-    (Java ``\\s`` is ASCII-only; Python's is unicode — see reference_semantics)."""
+    """JVM whitespace normalization, unicode-exact to the parity UDF:
+    ``re.sub(r'\\s+', ' ', text.strip())`` with Python's whitespace set
+    spelled out as an explicit class (Java ``\\s`` alone is ASCII-only)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.trim(c), r"\s+", " ")
+    return F.regexp_replace(F.btrim(c, F.lit(PY_WS)), WS_CLASS + "+", " ")
 
 
 # --------------------------------------------------------------------------

@@ -36,11 +36,14 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens_native, tokens_native_keep_order
 from ..sources.registry import spread
 
-# Python str.strip()'s ASCII whitespace set — the reference normalizes
-# content with .lower().strip() before hashing/shingling
-# (deduplication.py:104-125); parity-tested directly against the
-# reference implementation in tests/test_reference_parity_ops.py.
-PY_WS = " \t\n\r\x0b\x0c"
+# Python str.strip()'s whitespace set — the reference normalizes content
+# with .lower().strip() before hashing/shingling (deduplication.py:104-125).
+# str.strip() with no args strips the full unicode isspace() set (29 code
+# points, NBSP/U+2028/U+3000 included — common in web text), so the trim
+# set here is the shared unicode-exact constant, not ASCII string.whitespace.
+# Parity-tested against the reference implementation in
+# tests/test_reference_parity_ops.py.
+from ..functions.text import PY_WS
 
 
 def norm_content(col) -> F.Column:

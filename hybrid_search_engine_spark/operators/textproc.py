@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens_native
+from ..functions.text import PY_WS, tokens_native
 
 
 # ---------------------------------------------------------------------------
@@ -30,11 +30,11 @@ def split_sentences(text_col) -> Column:
     """Sentence split, each part stripped (chunker.py:42-45: the reference
     strips the text and every sentence). Java regex supports the
     lookbehind the reference uses."""
-    from .dedup import PY_WS
+    from ..functions.text import WS_CLASS
 
     c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col,
                    F.lit(""))
-    parts = F.transform(F.split(c, r"(?<=[.!?])\s+"),
+    parts = F.transform(F.split(c, "(?<=[.!?])" + WS_CLASS + "+"),
                         lambda x: F.btrim(x, F.lit(PY_WS)))
     return F.filter(parts, lambda x: x != "")
 
@@ -42,11 +42,11 @@ def split_sentences(text_col) -> Column:
 def split_paragraphs(text_col) -> Column:
     """Paragraph split on blank lines, each part stripped
     (chunker.py:88-90)."""
-    from .dedup import PY_WS
+    from ..functions.text import WS_CLASS
 
     c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col,
                    F.lit(""))
-    parts = F.transform(F.split(c, r"\n\s*\n"),
+    parts = F.transform(F.split(c, "\n" + WS_CLASS + "*\n"),
                         lambda x: F.btrim(x, F.lit(PY_WS)))
     return F.filter(parts, lambda x: x != "")
 
@@ -105,8 +105,6 @@ def chunk_documents(docs: DataFrame, text_col: str = "text",
                 F.col(text_col) if isinstance(text_col, str) else text_col,
                 F.lit("")))).alias("chunk_id", "chunk_text"))
     if mode == "chars":
-        from .dedup import PY_WS
-
         step = max(1, window_chars - overlap_chars)
         c = F.coalesce(F.col(text_col) if isinstance(text_col, str)
                        else text_col, F.lit(""))
@@ -326,7 +324,8 @@ def record_queries(query_log: DataFrame) -> DataFrame:
     """query_log(query_text, ...) → (query_text, frequency) aggregate
     (autocomplete.py:139-151: _all_queries[q] += freq)."""
     return (
-        query_log.select(F.lower(F.trim("query_text")).alias("query_text"))
+        query_log.select(F.lower(F.btrim(
+            "query_text", F.lit(PY_WS))).alias("query_text"))
         .where(F.col("query_text") != "")
         .groupBy("query_text")
         .agg(F.count(F.lit(1)).alias("frequency"))
