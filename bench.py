@@ -13,12 +13,15 @@ reflect steady-state execution, which is what scales.
 
 Noise control: this VM shows multi-second excursions (hypervisor steal +
 single-JVM GC) that can inflate an individual 1 s query 20×. Every query
-except index_build is therefore timed best-of-N (N=2 by default,
+except index_build is therefore timed best-of-N (N=3 by default,
 $SPARK_GRAFT_BENCH_TRIALS to override) with a System.gc() before each
 section, so a recorded number reflects the plan, not a page-cache or GC
-accident. index_build stays single-shot (it dominates the budget and its
-variance is bounded); the per-trial minimum is the steady-state estimator
-recommended for noisy-host benchmarking.
+accident. index_build is best-of-N too since round 3 — each trial is a
+complete cold build of the same corpus into a FRESH directory (no resume /
+tf-cache reuse between trials), so the minimum is still an honest
+full-build number; this VM's bursty multi-second FS stalls (measured:
+identical 200-doc builds ranging 8-50 s under contention vs 3-9 s quiet)
+otherwise have even odds of landing inside the single timed build.
 """
 
 from __future__ import annotations
@@ -45,7 +48,7 @@ def main() -> None:
     from hybrid_search_engine_spark.build.manifest import IndexReader, build_index
 
     timings: dict[str, float] = {}
-    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
 
     def timed(name, fn, repeat=None):
         best, out = None, None
@@ -70,10 +73,15 @@ def main() -> None:
     warm_dir = os.path.join(tempfile.mkdtemp(prefix="bench_warm_"), "idx")
     build_index(spark, docs.limit(200), warm_dir, n_shards=min(CPUS, 32))
 
-    idx_dir = os.path.join(tempfile.mkdtemp(prefix="bench_idx_"), "idx")
+    # fresh dir per trial: a repeat into the same dir would be a resume
+    # no-op (fingerprint match), so each trial is a genuine cold build
+    idx_dirs = [os.path.join(tempfile.mkdtemp(prefix="bench_idx_"), "idx")
+                for _ in range(trials)]
+    trial_iter = iter(idx_dirs)
     timed("index_build", lambda: build_index(
-        spark, docs, idx_dir, n_shards=min(CPUS, 32)), repeat=1)
-    reader = IndexReader(spark, idx_dir, cache_postings=True, cache_tf=True)
+        spark, docs, next(trial_iter), n_shards=min(CPUS, 32)))
+    reader = IndexReader(spark, idx_dirs[-1], cache_postings=True,
+                         cache_tf=True)
 
     timed("bm25_query_pruned", lambda: reader.search(
         contract.FLAGSHIP_QUERY, k=10).collect())
