@@ -193,6 +193,32 @@ SQL_KNN_BATCH = " UNION ALL ".join(
     f"SELECT * FROM ({_knn_one_sql(q, v)})" for q, v in ((0, 3), (1, 7), (2, 11)))
 
 
+def q_knn_ivf(spark, sf_dir):
+    """IVF ANN pipeline end-to-end (train coarse quantizer → assign lists →
+    probe → exact re-rank), run at FULL probe width so the result is exactly
+    the brute-force top-k and the whole pipeline is checkable against an
+    independent engine (reference FAISS sidecar: core.py:244-252). The
+    nprobe<n_lists pruned path is probabilistic and unit-tested for recall
+    + partition pruning instead (test_operators_misc.py ivf tests)."""
+    from .operators.similarity import (
+        build_ivf_index, ivf_search, ivf_train_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_lists = 8
+    C = ivf_train_centroids(emb, n_lists=n_lists, seed=7)
+    idx = build_ivf_index(emb, C)
+    qvec = _target_vec(spark, sf_dir, 11)
+    res = ivf_search(idx, C, qvec, k=10, nprobe=n_lists)
+    return res.select("vec_id", F.round("cosine", 6).alias("cosine_r"))
+
+
+SQL_KNN_IVF = f"""
+SELECT vec_id, round(cosine, 6) AS cosine_r FROM ({_COSINE_CTE.format(vid=11)})
+ORDER BY round(cosine, 9) DESC, vec_id LIMIT 10
+"""
+
+
 # Planted near-duplicate embedding vectors, union'ed into the embeddings
 # table by BOTH the Spark query and the DuckDB oracle — the testdata
 # embeddings contain no pairs ≥ 0.9, which previously left this oracle row
@@ -1440,6 +1466,7 @@ QUERIES_EXT = {
     "simhash16": q_simhash16,
     "knn_brute": q_knn_brute,
     "knn_batch": q_knn_batch,
+    "knn_ivf": q_knn_ivf,
     "embedding_near_pairs": q_embedding_near_pairs,
     "lang_detect": q_lang_detect,
     "lang_detect_wide": q_lang_detect_wide,
@@ -1476,6 +1503,7 @@ def _oracles_ext():
         "simhash16": SQL_SIMHASH16,
         "knn_brute": SQL_KNN_BRUTE,
         "knn_batch": SQL_KNN_BATCH,
+        "knn_ivf": SQL_KNN_IVF,
         "embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,
         "lang_detect": SQL_LANG_DETECT,
         "lang_detect_wide": _sql_lang_detect_wide(),
