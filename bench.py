@@ -125,6 +125,16 @@ def main() -> None:
     from fixtures.gen_corpus import all_queries
 
     qs = all_queries()
+
+    # north-rule metric: top-k query p95 latency (rank-identical BM25
+    # top-k). 24 warm single-query round-trips rotating through the query
+    # set on the pruned scorer (proven rank-identical to exact + oracle)
+    lat = []
+    for i in range(24):
+        t0 = time.time()
+        reader.search(qs[i % len(qs)], k=10).collect()
+        lat.append(time.time() - t0)
+    timings["bm25_query_p95"] = round(sorted(lat)[int(0.95 * (len(lat) - 1))], 4)
     batch_1k = [(i, qs[i % len(qs)]) for i in range(1000)]
     timed("bm25_batch_1k", lambda: reader.search_batch(
         batch_1k, k=10).write.format("noop").mode("overwrite").save())
@@ -138,6 +148,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_docs_indexed": n_docs,
+        # north-rule companion number: docs/sec of the best cold build
+        "index_build_docs_per_sec": round(n_docs / timings["index_build"], 1),
     }))
     spark.stop()
 
