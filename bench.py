@@ -105,7 +105,8 @@ def main() -> None:
     # --- training-data-pipeline operators (dedup / similarity / quality) ---
     from hybrid_search_engine_spark import contract_ext
 
-    for name in ["minhash_sig", "knn_batch", "quality", "lang_detect"]:
+    for name in ["minhash_sig", "knn_batch", "quality", "lang_detect",
+                 "repetition"]:
         fn = contract_ext.QUERIES_EXT[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).write.format("noop").mode(
             "overwrite").save())
@@ -119,6 +120,19 @@ def main() -> None:
     timed("minhash_fast", lambda: minhash_signatures_fast(
         contract_ext._docs(spark, SF_DIR)).write.format("noop").mode(
         "overwrite").save())
+
+    # transitive dedup groups over the scale path: xxhash64 MinHash LSH
+    # candidate pairs -> alternating-star connected components
+    from hybrid_search_engine_spark.operators.dedup import (
+        dedup_groups,
+        minhash_lsh_pairs,
+    )
+
+    timed("dedup_groups_lsh", lambda: dedup_groups(
+        contract_ext._docs(spark, SF_DIR),
+        minhash_lsh_pairs(contract_ext._docs(spark, SF_DIR),
+                          jaccard_threshold=0.5),
+    ).write.format("noop").mode("overwrite").save())
 
     # 1k-query batch through the broadcast queries-info path (the
     # closure→broadcast switch engages at BATCH_BROADCAST_MIN=64)

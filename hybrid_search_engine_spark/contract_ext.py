@@ -1457,6 +1457,115 @@ FROM rel GROUP BY query_text HAVING count(*) >= 1
 
 
 # ---------------------------------------------------------------------------
+# dedup groups: transitive closure of the near-dup 1-NN graph
+# (operators/dedup.py::connected_components — alternating large-star /
+# small-star). The pair graph is each doc's single best bigram-Jaccard
+# neighbor (jac >= 0.05, ties broken by smaller neighbor id): a 1-NN graph
+# chains instead of forming cliques, so the query genuinely exercises
+# multi-hop closure (the sf0.01 fixture yields components up to ~16 docs,
+# most of them non-cliques). Oracle replays closure with a recursive CTE.
+# ---------------------------------------------------------------------------
+
+def q_dedup_groups(spark, sf_dir):
+    from .operators.dedup import dedup_groups
+
+    d = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(d, n=2, threshold=0.05, df_cap=0)
+    both = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"),
+                        "jaccard").unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"),
+                     "jaccard"))
+    w = Window.partitionBy("u").orderBy(F.desc("jaccard"), F.asc("v"))
+    nn = (both.withColumn("rn", F.row_number().over(w))
+          .where(F.col("rn") == 1)
+          .select(F.least("u", "v").alias("doc_a"),
+                  F.greatest("u", "v").alias("doc_b"))
+          .distinct())
+    out = dedup_groups(d, nn)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      F.col("group_id").cast("bigint").alias("group_id"))
+
+
+def _sql_dedup_groups():
+    return f"""
+WITH RECURSIVE g AS (
+  SELECT doc_id, list_distinct({_BIGRAMS_SQL}) AS gs FROM documents
+), j AS (
+  SELECT a.doc_id AS u, b.doc_id AS v,
+         len(list_intersect(a.gs, b.gs))::DOUBLE
+         / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jac
+  FROM g a JOIN g b ON a.doc_id <> b.doc_id
+), nn AS (
+  SELECT least(u, v) AS a, greatest(u, v) AS b
+  FROM (SELECT u, v,
+               row_number() OVER (PARTITION BY u ORDER BY jac DESC, v) AS rn
+        FROM j WHERE jac >= 0.05)
+  WHERE rn = 1
+), e AS (
+  SELECT DISTINCT a, b FROM nn
+), sym AS (
+  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+), reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS group_id
+FROM reach GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (functions/analysis.py::repetition_metrics —
+# Gopher-style duplicate/top n-gram fractions for crawl quality filtering)
+# ---------------------------------------------------------------------------
+
+def q_repetition(spark, sf_dir):
+    from .functions.analysis import repetition_metrics
+
+    return repetition_metrics(_docs(spark, sf_dir))
+
+
+def _rep_ngrams_sql(n: int) -> str:
+    parts = " || ' ' || ".join(f"t[CAST(i AS INT)+{j}]" for j in range(n))
+    return (f"CASE WHEN len(t) >= {n} THEN "
+            f"list_transform(range(1, len(t) - {n - 2}), i -> {parts}) "
+            f"ELSE [] END")
+
+
+SQL_REPETITION = f"""
+WITH toks AS (SELECT doc_id, {TOK_ALL} AS t FROM documents),
+u AS (
+  SELECT doc_id, 1 AS n, unnest(t) AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, 2 AS n, unnest({_rep_ngrams_sql(2)}) AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, 3 AS n, unnest({_rep_ngrams_sql(3)}) AS gram FROM toks
+),
+c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM u GROUP BY doc_id, n, gram),
+s AS (SELECT doc_id, n, max(cnt) AS mx,
+             sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup,
+             sum(cnt) AS tot
+      FROM c GROUP BY doc_id, n),
+w AS (SELECT doc_id,
+        max(CASE WHEN n=1 THEN mx END) AS m1, max(CASE WHEN n=1 THEN tot END) AS t1,
+        max(CASE WHEN n=2 THEN mx END) AS m2, max(CASE WHEN n=2 THEN dup END) AS d2,
+        max(CASE WHEN n=2 THEN tot END) AS t2,
+        max(CASE WHEN n=3 THEN mx END) AS m3, max(CASE WHEN n=3 THEN dup END) AS d3,
+        max(CASE WHEN n=3 THEN tot END) AS t3
+      FROM s GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(w.t1, 0) AS BIGINT) AS n_tokens,
+       coalesce(round(w.m1::DOUBLE / w.t1, 6), 0.0) AS max_token_frac,
+       coalesce(round(w.m2::DOUBLE / w.t2, 6), 0.0) AS top_bigram_frac,
+       coalesce(round(w.d2::DOUBLE / w.t2, 6), 0.0) AS dup_bigram_frac,
+       coalesce(round(w.m3::DOUBLE / w.t3, 6), 0.0) AS top_trigram_frac,
+       coalesce(round(w.d3::DOUBLE / w.t3, 6), 0.0) AS dup_trigram_frac
+FROM documents d LEFT JOIN w USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1476,6 +1585,8 @@ QUERIES_EXT = {
     "script_detect": q_script_detect,
     "snippets": q_snippets,
     "dedup_action": q_dedup_action,
+    "dedup_groups": q_dedup_groups,
+    "repetition": q_repetition,
     "quality": q_quality,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
@@ -1513,6 +1624,8 @@ def _oracles_ext():
         "script_detect": _sql_script_detect(),
         "snippets": _sql_snippets(),
         "dedup_action": SQL_DEDUP_ACTION,
+        "dedup_groups": _sql_dedup_groups(),
+        "repetition": SQL_REPETITION,
         "quality": SQL_QUALITY,
         "token_counts": SQL_TOKEN_COUNTS,
         "fingerprint": SQL_FINGERPRINT,

@@ -569,3 +569,87 @@ def rolling_prefix_hash(text_col, prefix_chars: int = 256) -> Column:
     c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col,
                    F.lit(""))
     return F.md5(F.substring(c, 1, prefix_chars))
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style, Rae et al. 2021 appendix A1.1)
+# ---------------------------------------------------------------------------
+
+def _ordered_ngrams(toks: Column, n: int) -> Column:
+    """Strict consecutive token n-grams — empty array when the doc has
+    fewer than n tokens (unlike dedup.token_ngrams, which degrades to a
+    whole-doc gram for the Jaccard use case)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id"):
+    """→ one row per doc: Gopher-style repetition quality signals.
+
+    Columns: ``n_tokens``, ``max_token_frac`` (count of the most frequent
+    token / n_tokens), ``top_bigram_frac`` / ``top_trigram_frac`` (count of
+    the most frequent n-gram / total n-grams), ``dup_bigram_frac`` /
+    ``dup_trigram_frac`` (fraction of n-grams whose gram occurs ≥ 2 times).
+    Fractions are 0.0 when the doc has no n-grams of that order; all are
+    rounded to 6 dp for oracle-stable hashing. These are the standard
+    repetition filters for web-crawl LLM training data (Gopher §A1.1 /
+    MassiveText; public-domain methodology — the reference engine has no
+    equivalent, this is part of the training-data-pipeline surface).
+
+    Plan shape: unigrams/bigrams/trigrams are built natively per row,
+    stacked into one struct array, and exploded ONCE; the (doc, n, gram)
+    count and the per-(doc, n) rollup ride the same doc-grain hash
+    partitioning — a single token-grain shuffle, the same shape as the tf
+    build (operators/stats.py), so the 100 TB posture is identical.
+    Docs that tokenize to nothing are restored by a left join with 0.0s.
+    """
+    from .text import tokens_native_keep_order
+
+    toks = tokens_native_keep_order(F.col(text_col))
+
+    # NB: a two-argument lambda in F.transform means (element, index) —
+    # a `n=n` default would receive the array INDEX, not the closure value.
+    def _tagged(nv: int):
+        return F.transform(
+            _ordered_ngrams(toks, nv),
+            lambda g: F.struct(F.lit(nv).alias("n"), g.alias("gram")))
+
+    stacked = F.flatten(F.array(*[_tagged(n) for n in (1, 2, 3)]))
+    grams = df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(stacked).alias("s")
+                      ).select("doc_id", "s.n", "s.gram")
+    per_gram = grams.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    per_n = per_gram.groupBy("doc_id", "n").agg(
+        F.max("cnt").alias("mx"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0))
+              ).alias("dup"),
+        F.sum("cnt").alias("tot"))
+    wide = per_n.groupBy("doc_id").pivot("n", [1, 2, 3]).agg(
+        F.first("mx").alias("mx"), F.first("dup").alias("dup"),
+        F.first("tot").alias("tot"))
+
+    def frac(num, den):
+        return F.when(F.col(den).isNotNull() & (F.col(den) > 0),
+                      F.round(F.col(num) / F.col(den), 6)).otherwise(F.lit(0.0))
+
+    out = wide.select(
+        "doc_id",
+        F.col("1_tot").alias("n_tokens"),
+        frac("1_mx", "1_tot").alias("max_token_frac"),
+        frac("2_mx", "2_tot").alias("top_bigram_frac"),
+        frac("2_dup", "2_tot").alias("dup_bigram_frac"),
+        frac("3_mx", "3_tot").alias("top_trigram_frac"),
+        frac("3_dup", "3_tot").alias("dup_trigram_frac"),
+    )
+    return (df.select(F.col(id_col).alias("doc_id"))
+            .join(out, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0)).cast("bigint"
+                                                          ).alias("n_tokens"),
+                    *[F.coalesce(c, F.lit(0.0)).alias(c) for c in
+                      ("max_token_frac", "top_bigram_frac", "dup_bigram_frac",
+                       "top_trigram_frac", "dup_trigram_frac")]))

@@ -339,18 +339,35 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         .distinct()
     )
 
-    shingle_sets = docs.select(
+    # Exact-Jaccard verify in inverted form (same shape as
+    # ngram_jaccard_pairs): explode distinct shingles once, count shared
+    # shingles per candidate pair with codegen hash joins, and derive the
+    # union from the two set sizes. The earlier array form carried two
+    # ~|doc|-element string arrays through the candidate join and ran
+    # interpreted array_intersect/array_union per pair — measured 3.0×
+    # slower on a dense corpus (sf0.1, ~140k candidates surviving the
+    # bucket cap, 253 verified pairs: 49.8 s → 16.5 s, identical output).
+    ex = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(char_shingles(F.col(text_col), shingle_k)).alias("sh"),
+        F.explode(F.array_distinct(char_shingles(F.col(text_col), shingle_k))
+                  ).alias("sh"),
+    )
+    sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        ex.withColumnRenamed("doc_id", "doc_a").join(cand, "doc_a")
+        .join(ex.select(F.col("doc_id").alias("doc_b"), "sh"),
+              ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter"))
     )
     verified = (
-        cand.join(shingle_sets.select(F.col("doc_id").alias("doc_a"),
-                                      F.col("sh").alias("sh_a")), "doc_a")
-        .join(shingle_sets.select(F.col("doc_id").alias("doc_b"),
-                                  F.col("sh").alias("sh_b")), "doc_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double"))
-        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")).cast("double"))
-        .withColumn("jaccard", F.col("inter") / F.col("uni"))
+        inter
+        .join(sz.select(F.col("doc_id").alias("doc_a"),
+                        F.col("sz").alias("sz_a")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"),
+                        F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn("jaccard",
+                    F.col("inter").cast("double")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -563,3 +580,145 @@ def embedding_near_dup_pairs(emb: DataFrame, vec_col: str = "embedding",
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# transitive closure: near-dup pairs -> dedup groups
+# ---------------------------------------------------------------------------
+
+def _cc_local(e: DataFrame) -> DataFrame:
+    """Driver-side union-find finish for a driver-sized edge set: collect,
+    path-halving union-find, parallelize the (node, component) map back.
+    Preserves the edge columns' Spark types by building the result schema
+    from the input's."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in e.collect():
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(n, find(n)) for n in parent]
+    schema = T.StructType([
+        T.StructField("node", e.schema[0].dataType, True),
+        T.StructField("component", e.schema[1].dataType, True),
+    ])
+    return e.sparkSession.createDataFrame(rows, schema)
+
+
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b",
+                         max_rounds: int = 50,
+                         local_threshold: int = 500_000) -> DataFrame:
+    """→ (node, component): component = min node id reachable in the
+    undirected near-dup pair graph — the exact transitive closure that
+    ``apply_dedup_action``'s one-hop canonical map approximates.
+
+    Near-dup relations chain (A≈B, B≈C with A,C below threshold), so a
+    correct "keep one per duplicate set" policy needs connected
+    components, not one-hop grouping. The reference resolves this
+    per-insert against an in-memory store (deduplication.py:196-241);
+    batch-at-scale it is a graph problem.
+
+    Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14), chosen over
+    naive min-label propagation because it converges in O(log² n) rounds
+    (label propagation needs O(graph diameter) — a 1-NN dedup chain can
+    be arbitrarily long). Each half-round is expressed as
+    groupBy-min + equi-join back to the edge list — **no neighbor list is
+    ever collected**, so a Zipf-degree hub (boilerplate cluster of
+    millions of docs) spreads across tasks instead of concentrating on
+    one; AQE handles residual key skew. Per round: two shuffles; lineage
+    is truncated every round with ``localCheckpoint`` (the standard Spark
+    iterative-algorithm pattern — GraphX/Pregel does the same).
+    Convergence = (count, xxhash64-sum) fixpoint of the canonical edge
+    set; on a star graph both stars are no-ops, so consecutive equal
+    signatures certify termination.
+
+    Works for numeric or string ids (min/least/greatest are the only id
+    operations). Nodes absent from ``pairs`` (singletons) do not appear;
+    callers left-join and coalesce to the node's own id.
+
+    ``local_threshold``: once the live edge set is at most this many rows
+    (checked before the first round and after every round — the star
+    rounds only ever shrink distinct edges toward one per non-root node),
+    the remainder is finished with a driver-side union-find instead of
+    more distributed rounds. Each distributed round costs several
+    fixed-overhead jobs; below ~10⁶ edges that overhead dwarfs the O(E)
+    local pass (warm-measured on a 253-edge graph: 3.0 s of round
+    scheduling vs 1.1 s local finish; the gap grows with rounds needed).
+    The default bounds driver memory at ~tens of MB; pass 0 to force the
+    fully-distributed path.
+    """
+    e = (pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+         .where(F.col("x") != F.col("y"))
+         .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+         .distinct()
+         .localCheckpoint())
+    n = e.count()
+    if n == 0:
+        return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+
+    prev_sig = None
+    for _ in range(max_rounds):
+        if local_threshold and n <= local_threshold:
+            return _cc_local(e)
+        # large-star: for every node u with m = min(N(u) ∪ {u}), connect
+        # each strictly-larger neighbor to m. Output edges are (bigger,
+        # smaller) by construction: v > u >= m.
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("u", "mn").alias("m")))
+        e1 = (sym.join(lmin, "u")
+              .where(F.col("v") > F.col("u"))
+              .select(F.col("v").alias("u"), F.col("m").alias("v"))
+              .where(F.col("u") != F.col("v"))
+              .distinct())
+        # small-star: edges arrive oriented u > v; with m = min of u's
+        # smaller neighborhood, connect u and each smaller neighbor to m.
+        smin = e1.groupBy("u").agg(F.min("v").alias("m"))
+        e2 = (e1.join(smin, "u")
+              .select(F.col("v").alias("x"), F.col("m").alias("y"))
+              .union(smin.select(F.col("u").alias("x"), F.col("m").alias("y")))
+              .where(F.col("x") != F.col("y"))
+              .select(F.greatest("x", "y").alias("u"),
+                      F.least("x", "y").alias("v"))
+              .distinct()
+              .localCheckpoint())
+        row = e2.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        sig = (row["n"], row["h"])
+        e, n = e2, row["n"]
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds")
+    # fixpoint of both stars = star graph: every edge is (node, root).
+    # Roots only ever appear on the v side — emit them mapped to themselves.
+    return (e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+            .union(e.select(F.col("v").alias("node"),
+                            F.col("v").alias("component")).distinct()))
+
+
+def dedup_groups(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                 a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+    """→ (doc_id, group_id): every doc labeled with the min doc id of its
+    near-dup connected component; docs with no near-dup pair get their
+    own id. Keeping ``group_id == doc_id`` rows implements transitive
+    SKIP; grouping by ``group_id`` gives the duplicate clusters."""
+    comp = connected_components(pairs, a_col=a_col, b_col=b_col)
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component", F.col("doc_id")).alias("group_id")))

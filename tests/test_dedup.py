@@ -170,3 +170,92 @@ def test_embedding_near_pairs_planted(spark, sf_dir):
     # should reach 0.9 against them (and sf testdata has no real-real pair)
     stray = [p for p in got if (p[0] < 9000000) != (p[1] < 9000000)]
     assert not stray, stray
+
+
+# ---------------------------------------------------------------------------
+# connected components (transitive near-dup closure)
+# ---------------------------------------------------------------------------
+
+def _uf_components(edges):
+    """Driver-side union-find oracle: node -> min id of its component."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _cc_spark(spark, edges, local_threshold=500_000):
+    from hybrid_search_engine_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = connected_components(df, local_threshold=local_threshold)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+# local_threshold=0 forces the distributed alternating-star rounds;
+# the default finishes driver-side via union-find — both must agree.
+@pytest.mark.parametrize("thr", [0, 500_000])
+def test_cc_chain_star_cycle(spark, thr):
+    # chain 1-2-3-4-5 (diameter 4), star at 10, 3-cycle, disjoint pair
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5),
+             (10, 11), (10, 12), (10, 13),
+             (20, 21), (21, 22), (22, 20),
+             (30, 31)]
+    got = _cc_spark(spark, edges, thr)
+    assert got == _uf_components(edges)
+    assert got[5] == 1 and got[13] == 10 and got[22] == 20 and got[31] == 30
+
+
+@pytest.mark.parametrize("thr", [0, 500_000])
+def test_cc_duplicate_and_reversed_edges(spark, thr):
+    edges = [(2, 1), (1, 2), (2, 3), (3, 1), (3, 3)]
+    got = _cc_spark(spark, edges, thr)
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_cc_empty(spark):
+    from hybrid_search_engine_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_cc_string_ids(spark):
+    from hybrid_search_engine_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "doc_a string, doc_b string")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_cc_random_graphs_match_union_find(spark):
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(70)]
+        edges = [(a, b) for a, b in edges if a != b]
+        # distributed rounds on the first trial, local finish on the rest
+        thr = 0 if trial == 0 else 500_000
+        assert _cc_spark(spark, edges, thr) == _uf_components(edges), trial
+
+
+def test_dedup_groups_labels_singletons(spark):
+    from hybrid_search_engine_spark.operators.dedup import dedup_groups
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["group_id"] for r in dedup_groups(docs, pairs).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1}

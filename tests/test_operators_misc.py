@@ -465,3 +465,23 @@ def test_script_counts_onepass_matches_regexp(spark, sf_dir):
         got = {r["doc_id"]: tuple(r["cnt"]) for r in df.select(
             "doc_id", script_counts_onepass()(c).alias("cnt")).collect()}
         assert got == want
+
+
+def test_repetition_metrics_hand_values(spark):
+    from hybrid_search_engine_spark.functions.analysis import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x"), (3, ""), (4, "p q p q p q")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_metrics(docs).collect()}
+    assert got[1] == {"doc_id": 1, "n_tokens": 4, "max_token_frac": 0.75,
+                      "top_bigram_frac": 0.666667, "dup_bigram_frac": 0.666667,
+                      "top_trigram_frac": 0.5, "dup_trigram_frac": 0.0}
+    # single token: no bigrams/trigrams -> 0.0 fractions, not whole-doc grams
+    assert got[2] == {"doc_id": 2, "n_tokens": 1, "max_token_frac": 1.0,
+                      "top_bigram_frac": 0.0, "dup_bigram_frac": 0.0,
+                      "top_trigram_frac": 0.0, "dup_trigram_frac": 0.0}
+    assert got[3]["n_tokens"] == 0 and got[3]["max_token_frac"] == 0.0
+    assert got[4] == {"doc_id": 4, "n_tokens": 6, "max_token_frac": 0.5,
+                      "top_bigram_frac": 0.6, "dup_bigram_frac": 1.0,
+                      "top_trigram_frac": 0.5, "dup_trigram_frac": 1.0}
