@@ -107,19 +107,29 @@ def apply_dedup_action(docs: DataFrame, pairs: DataFrame,
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def char_shingles(col, k: int = 3):
-    """Character k-shingles as a native expression (deduplication.py:104-109:
-    sliding window over the lower().strip()-normalized string; a non-empty
-    text shorter than k yields itself as the single shingle — for empty
-    text the reference returns [], we keep [''] so every doc retains a
-    signature row)."""
-    c = norm_content(col)
+def shingles_of(c, k: int = 3):
+    """Character k-shingles of an already-normalized string column.
+
+    Callers that evaluate this over a TABLE must pass a BOUND column (a
+    select-projected attribute), not an inline expression: the per-position
+    lambda embeds ``c`` in every substr, so an unbound expression tree is
+    re-evaluated once per window position — O(len²) per doc."""
     n = F.length(c)
     return F.when(
         n >= k,
         F.transform(F.sequence(F.lit(1), n - (k - 1)),
                     lambda i: c.substr(i, F.lit(k))),
     ).otherwise(F.array(c))
+
+
+def char_shingles(col, k: int = 3):
+    """Character k-shingles as a native expression (deduplication.py:104-109:
+    sliding window over the lower().strip()-normalized string; a non-empty
+    text shorter than k yields itself as the single shingle — for empty
+    text the reference returns [], we keep [''] so every doc retains a
+    signature row). Convenience inline form — see ``shingles_of`` for the
+    bind requirement on hot paths."""
+    return shingles_of(norm_content(col), k)
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
@@ -347,11 +357,11 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     # interpreted array_intersect/array_union per pair — measured 3.0×
     # slower on a dense corpus (sf0.1, ~140k candidates surviving the
     # bucket cap, 253 verified pairs: 49.8 s → 16.5 s, identical output).
-    ex = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(char_shingles(F.col(text_col), shingle_k))
-                  ).alias("sh"),
-    )
+    ex = (docs.select(F.col(id_col).alias("doc_id"),
+                      norm_content(F.col(text_col)).alias("__t"))
+          .select("doc_id",
+                  F.explode(F.array_distinct(
+                      shingles_of(F.col("__t"), shingle_k))).alias("sh")))
     sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         ex.withColumnRenamed("doc_id", "doc_a").join(cand, "doc_a")
@@ -444,8 +454,12 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
 # token n-gram Jaccard
 # ---------------------------------------------------------------------------
 
-def token_ngrams(col, n: int = 2):
-    toks = tokens_native(col, remove_stopwords=False)
+def ngrams_of(toks, n: int = 2):
+    """Token n-grams of an already-tokenized array column (degrades to the
+    whole token sequence as one gram when the doc has < n tokens — the
+    Jaccard semantics). Same bind requirement as ``shingles_of``: pass a
+    projected attribute on hot paths, or the tokenizer re-runs per
+    position."""
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -453,6 +467,10 @@ def token_ngrams(col, n: int = 2):
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def token_ngrams(col, n: int = 2):
+    return ngrams_of(tokens_native(col, remove_stopwords=False), n)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
@@ -470,10 +488,12 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     (sizes and intersection both exclude boilerplate grams), so numerator
     and denominator are consistent: the score is the exact Jaccard of the
     non-boilerplate grams, not a mixed-denominator underestimate."""
-    grams = docs.select(
+    grams = (docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
-    )
+        tokens_native(F.col(text_col), remove_stopwords=False).alias("__toks"))
+        .select("doc_id",
+                F.explode(F.array_distinct(
+                    ngrams_of(F.col("__toks"), n))).alias("g")))
     if df_cap:
         gdf = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
         grams = grams.join(F.broadcast(gdf.where(F.col("gdf") > df_cap)),

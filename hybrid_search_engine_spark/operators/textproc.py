@@ -80,7 +80,12 @@ def chunk_documents(docs: DataFrame, text_col: str = "text",
             step = max_sentences - overlap_sentences
             if step <= 0:  # chunker.py:69-71 degenerate-overlap guard
                 step = max_sentences
-            n = F.size(parts)
+            # bind the sentence array once — referencing `parts` inside the
+            # per-window lambdas would re-run the split per window position
+            base = docs.select(F.col(id_col).alias("doc_id"),
+                               parts.alias("__parts"))
+            p = F.col("__parts")
+            n = F.size(p)
             starts = F.filter(
                 F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)),
                            F.lit(step)),
@@ -88,9 +93,9 @@ def chunk_documents(docs: DataFrame, text_col: str = "text",
             chunks = F.transform(
                 starts,
                 lambda i: F.concat_ws(
-                    " ", F.slice(parts, i + 1, F.lit(max_sentences))))
-            return docs.select(
-                F.col(id_col).alias("doc_id"),
+                    " ", F.slice(p, i + 1, F.lit(max_sentences))))
+            return base.select(
+                "doc_id",
                 F.posexplode(chunks).alias("chunk_id", "chunk_text"))
         ex = docs.select(F.col(id_col).alias("doc_id"),
                          F.posexplode(parts).alias("chunk_id", "chunk_text"))
