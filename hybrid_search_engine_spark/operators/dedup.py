@@ -288,23 +288,29 @@ def minhash_signatures_fast(docs: DataFrame, text_col: str = "text",
                        udf(F.col(text_col)).alias("sig"))
 
 
-def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", num_perm: int = 16,
-                      bands: int = 4, shingle_k: int = 3,
-                      jaccard_threshold: float = 0.8,
-                      band_bucket_cap: int = 200,
-                      signatures: str = "fast") -> DataFrame:
-    """→ (doc_a, doc_b, jaccard) near-duplicate pairs.
+def _exploded_shingles(docs: DataFrame, text_col: str, id_col: str,
+                       k: int) -> DataFrame:
+    """→ (doc_id, sh): distinct character k-shingles, one row each — the
+    verify-side input (normalization bound before the per-position HOF)."""
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        norm_content(F.col(text_col)).alias("__t"))
+            .select("doc_id",
+                    F.explode(F.array_distinct(
+                        shingles_of(F.col("__t"), k))).alias("sh")))
 
-    Pipeline: signatures → explode into `bands` band-hashes → self-equi-join
-    on (band_id, band_hash) with doc_a < doc_b → exact shingle-Jaccard
-    verify ≥ threshold. Candidate generation cost is Σ_buckets B², hence the
-    cap on degenerate buckets.
 
-    ``signatures``: 'fast' (default — xxhash64 bigint sigs, the engine
-    tier) or 'md5' (portable tier, replayable in the SQL oracle). The
-    final pairs are exact-Jaccard verified either way, so the choice only
-    moves candidate-recall, which the planted-dup tests pin for both."""
+def minhash_band_hashes(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", num_perm: int = 16,
+                        bands: int = 4, shingle_k: int = 3,
+                        signatures: str = "fast",
+                        band_bucket_cap: int = 0) -> DataFrame:
+    """→ (doc_id, band_id, band_hash): the LSH probe table. Shared by the
+    batch self-join (``minhash_lsh_pairs``) and the incremental probe
+    (``near_dup_check_incremental``); persist it (parquet, partitioned or
+    bucketed by band_hash) to dedup a stream against an existing corpus
+    without re-signing the corpus. ``band_bucket_cap`` > 0 drops degenerate
+    buckets (see minhash_lsh_pairs); leave 0 when building a reusable
+    table and cap at probe time instead."""
     rows_per_band = num_perm // bands
     if signatures == "fast":
         sig = minhash_signatures_fast(docs, text_col, id_col, num_perm,
@@ -339,7 +345,29 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
             .where(F.col("bucket_n") <= band_bucket_cap)
             .drop("bucket_n")
         )
+    return banded
 
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 16,
+                      bands: int = 4, shingle_k: int = 3,
+                      jaccard_threshold: float = 0.8,
+                      band_bucket_cap: int = 200,
+                      signatures: str = "fast") -> DataFrame:
+    """→ (doc_a, doc_b, jaccard) near-duplicate pairs.
+
+    Pipeline: signatures → explode into `bands` band-hashes → self-equi-join
+    on (band_id, band_hash) with doc_a < doc_b → exact shingle-Jaccard
+    verify ≥ threshold. Candidate generation cost is Σ_buckets B², hence the
+    cap on degenerate buckets.
+
+    ``signatures``: 'fast' (default — xxhash64 bigint sigs, the engine
+    tier) or 'md5' (portable tier, replayable in the SQL oracle). The
+    final pairs are exact-Jaccard verified either way, so the choice only
+    moves candidate-recall, which the planted-dup tests pin for both."""
+    banded = minhash_band_hashes(docs, text_col, id_col, num_perm, bands,
+                                 shingle_k, signatures,
+                                 band_bucket_cap=band_bucket_cap)
     a = banded.alias("a")
     bdf = banded.alias("b")
     cand = (
@@ -357,11 +385,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     # interpreted array_intersect/array_union per pair — measured 3.0×
     # slower on a dense corpus (sf0.1, ~140k candidates surviving the
     # bucket cap, 253 verified pairs: 49.8 s → 16.5 s, identical output).
-    ex = (docs.select(F.col(id_col).alias("doc_id"),
-                      norm_content(F.col(text_col)).alias("__t"))
-          .select("doc_id",
-                  F.explode(F.array_distinct(
-                      shingles_of(F.col("__t"), shingle_k))).alias("sh")))
+    ex = _exploded_shingles(docs, text_col, id_col, shingle_k)
     sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         ex.withColumnRenamed("doc_id", "doc_a").join(cand, "doc_a")
@@ -382,6 +406,77 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         .select("doc_a", "doc_b", "jaccard")
     )
     return verified
+
+
+def near_dup_check_incremental(new_docs: DataFrame, corpus_docs: DataFrame,
+                               band_table: DataFrame | None = None,
+                               text_col: str = "text",
+                               id_col: str = "doc_id", num_perm: int = 16,
+                               bands: int = 4, shingle_k: int = 3,
+                               jaccard_threshold: float = 0.8,
+                               probe_bucket_cap: int = 200,
+                               signatures: str = "fast") -> DataFrame:
+    """→ (doc_id, dup_of, jaccard): for each NEW doc, the existing corpus
+    docs it near-duplicates — the reference's per-insert dedup check
+    (DeduplicationEngine.check_and_handle, deduplication.py:196-241)
+    re-expressed as a batch probe, the shape a streaming ingest needs: run
+    it per micro-batch in ``foreachBatch`` and append the surviving docs'
+    ``minhash_band_hashes`` rows to the persisted band table.
+
+    Plan: band-hash only the NEW docs (the corpus is never re-signed when
+    ``band_table`` is supplied), equi-join the probes against the table on
+    (band_id, band_hash), then exact-Jaccard-verify each candidate against
+    only the collided corpus docs — the corpus text scan is semi-joined
+    down to candidates first, so probe cost scales with the batch and its
+    collisions, not the corpus. ``probe_bucket_cap`` drops degenerate
+    table buckets at probe time (a boilerplate band shared by millions of
+    corpus docs would otherwise fan every probe out by that bucket size).
+
+    Feed the output to ``apply_dedup_action`` (rename dup_of → doc_a,
+    doc_id → doc_b) for SKIP/MERGE/FLAG policy."""
+    if band_table is None:
+        band_table = minhash_band_hashes(
+            corpus_docs, text_col, id_col, num_perm, bands, shingle_k,
+            signatures)
+    if probe_bucket_cap:
+        wcap = Window.partitionBy("band_id", "band_hash")
+        band_table = (band_table
+                      .withColumn("bucket_n", F.count(F.lit(1)).over(wcap))
+                      .where(F.col("bucket_n") <= probe_bucket_cap)
+                      .drop("bucket_n"))
+    probes = minhash_band_hashes(new_docs, text_col, id_col, num_perm,
+                                 bands, shingle_k, signatures)
+    cand = (probes.select(F.col("doc_id").alias("new_id"),
+                          "band_id", "band_hash")
+            .join(band_table.select(F.col("doc_id").alias("old_id"),
+                                    "band_id", "band_hash"),
+                  ["band_id", "band_hash"])
+            .where(F.col("new_id") != F.col("old_id"))
+            .select("new_id", "old_id").distinct())
+
+    ex_new = _exploded_shingles(new_docs, text_col, id_col, shingle_k)
+    # scan only the collided corpus docs' text
+    hit_old = corpus_docs.join(
+        cand.select(F.col("old_id").alias(id_col)).distinct(), id_col,
+        "left_semi")
+    ex_old = _exploded_shingles(hit_old, text_col, id_col, shingle_k)
+    sz_new = ex_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sz_old = ex_old.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (ex_new.withColumnRenamed("doc_id", "new_id").join(cand, "new_id")
+             .join(ex_old.select(F.col("doc_id").alias("old_id"), "sh"),
+                   ["old_id", "sh"])
+             .groupBy("new_id", "old_id").agg(F.count(F.lit(1)).alias("inter")))
+    return (inter
+            .join(sz_new.select(F.col("doc_id").alias("new_id"),
+                                F.col("sz").alias("sz_a")), "new_id")
+            .join(sz_old.select(F.col("doc_id").alias("old_id"),
+                                F.col("sz").alias("sz_b")), "old_id")
+            .withColumn("jaccard",
+                        F.col("inter").cast("double")
+                        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .where(F.col("jaccard") >= jaccard_threshold)
+            .select(F.col("new_id").alias("doc_id"),
+                    F.col("old_id").alias("dup_of"), "jaccard"))
 
 
 # ---------------------------------------------------------------------------

@@ -259,3 +259,66 @@ def test_dedup_groups_labels_singletons(spark):
     pairs = spark.createDataFrame([(1, 3), (3, 5)], "doc_a long, doc_b long")
     got = {r["doc_id"]: r["group_id"] for r in dedup_groups(docs, pairs).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1}
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup check (per-insert reference semantics, batch probe)
+# ---------------------------------------------------------------------------
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun")
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_near_dup_check_incremental_planted(spark):
+    from hybrid_search_engine_spark.operators.dedup import (
+        near_dup_check_incremental,
+    )
+
+    corpus = _mk_docs(spark, [
+        (1, "completely unrelated text about spark dataframes and shuffles"),
+        (2, BASE + " extra tail"),
+        (3, BASE),
+        (4, "another unrelated document mentioning parquet row groups only"),
+    ])
+    new = _mk_docs(spark, [
+        (100, BASE + " extra tile"),   # near-dup of 2 (and 3)
+        (101, BASE),                   # exact dup of 3
+        (102, "a brand new topic never seen before in this tiny corpus"),
+    ])
+    got = near_dup_check_incremental(new, corpus, jaccard_threshold=0.8)
+    rows = {(r["doc_id"], r["dup_of"]): r["jaccard"] for r in got.collect()}
+    assert (101, 3) in rows and rows[(101, 3)] == 1.0
+    assert any(k[0] == 100 for k in rows), rows
+    assert not any(k[0] == 102 for k in rows), rows
+
+
+def test_near_dup_check_incremental_two_batches_with_band_table(spark):
+    from hybrid_search_engine_spark.operators.dedup import (
+        minhash_band_hashes,
+        near_dup_check_incremental,
+    )
+
+    corpus = _mk_docs(spark, [(1, BASE)])
+    table = minhash_band_hashes(corpus).localCheckpoint()
+
+    batch1 = _mk_docs(spark, [(10, BASE + " tail one"),
+                              (11, "novel content entirely distinct words")])
+    got1 = {(r["doc_id"], r["dup_of"])
+            for r in near_dup_check_incremental(
+                batch1, corpus, band_table=table,
+                jaccard_threshold=0.8).collect()}
+    assert got1 == {(10, 1)}
+
+    # append batch1's bands + docs, then a batch-2 doc duplicating doc 11
+    table2 = table.union(minhash_band_hashes(batch1)).localCheckpoint()
+    corpus2 = corpus.union(batch1)
+    batch2 = _mk_docs(spark, [(20, "novel content entirely distinct words")])
+    got2 = {(r["doc_id"], r["dup_of"])
+            for r in near_dup_check_incremental(
+                batch2, corpus2, band_table=table2,
+                jaccard_threshold=0.8).collect()}
+    assert got2 == {(20, 11)}
