@@ -154,11 +154,22 @@ def main() -> None:
         batch_1k, k=10).write.format("noop").mode("overwrite").save())
 
     total = round(sum(timings.values()), 4)
+    # the round-2 headline set — new rows added later rounds inflate the
+    # grand total, so cross-round comparisons should use this sub-total
+    R02_KEYS = {
+        "index_build", "bm25_query_pruned", "bm25_query_exact_cached",
+        "bm25_query_exact_path", "doc_term_tf", "term_stats", "doc_metadata",
+        "pricing_summary", "nation_revenue", "top_orders_per_customer",
+        "topk_orders", "events_json", "dedup_exact", "event_windows",
+        "minhash_sig", "knn_batch", "quality", "lang_detect",
+    }
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": f"headline_total_runtime_local[{CPUS}]",
         "value": total,
         "unit": "sec",
+        "value_r02_comparable": round(
+            sum(v for k, v in timings.items() if k in R02_KEYS), 4),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_docs_indexed": n_docs,
