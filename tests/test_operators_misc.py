@@ -485,3 +485,47 @@ def test_repetition_metrics_hand_values(spark):
     assert got[4] == {"doc_id": 4, "n_tokens": 6, "max_token_frac": 0.5,
                       "top_bigram_frac": 0.6, "dup_bigram_frac": 1.0,
                       "top_trigram_frac": 0.5, "dup_trigram_frac": 1.0}
+
+
+def test_repetition_metrics_matches_python_oracle(spark):
+    """Property check against a from-scratch per-doc computation using the
+    same tokenizer regex, over deterministic pseudo-random texts with
+    heavy repetition structure."""
+    import random
+    import re
+    from collections import Counter
+
+    from hybrid_search_engine_spark.functions.analysis import repetition_metrics
+
+    rng = random.Random(7)
+    vocab = ["a", "bb", "ccc", "d1", "e_e", "ff", "g", "hh"]
+    rows = []
+    for i in range(40):
+        n = rng.randrange(0, 12)
+        words = [rng.choice(vocab) for _ in range(n)]
+        if i % 3 == 0 and words:  # inject repeats
+            words = words + words[: rng.randrange(1, len(words) + 1)]
+        rows.append((i, " ".join(words) + (" ...!" if i % 5 == 0 else "")))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_metrics(docs).collect()}
+
+    for doc_id, text in rows:
+        toks = re.findall(r"[a-z0-9_]+", text.lower())
+        exp = {"n_tokens": len(toks)}
+        for n, top_name, dup_name in [(1, "max_token_frac", None),
+                                      (2, "top_bigram_frac", "dup_bigram_frac"),
+                                      (3, "top_trigram_frac", "dup_trigram_frac")]:
+            grams = [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+            if not grams:
+                exp[top_name] = 0.0
+                if dup_name:
+                    exp[dup_name] = 0.0
+                continue
+            c = Counter(grams)
+            exp[top_name] = round(max(c.values()) / len(grams), 6)
+            if dup_name:
+                exp[dup_name] = round(
+                    sum(v for v in c.values() if v >= 2) / len(grams), 6)
+        g = got[doc_id]
+        for k, v in exp.items():
+            assert g[k] == v, (doc_id, k, g[k], v, text)
