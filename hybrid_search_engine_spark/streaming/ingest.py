@@ -94,6 +94,77 @@ def incremental_index_query(spark: SparkSession, src_dir: str,
     return w.start()
 
 
+def dedup_checked_ingest(spark: SparkSession, src_dir: str, index_root: str,
+                         checkpoint_dir: str, n_shards: int = 8,
+                         jaccard_threshold: float = 0.8,
+                         available_now: bool = True):
+    """S4 + P7 composed: streaming ingest that SKIPs near-duplicate pages
+    BEFORE they are indexed — the reference's per-insert check_and_handle
+    (deduplication.py:196-241) as a per-micro-batch probe
+    (operators/dedup.py::near_dup_check_incremental).
+
+    Per batch: (1) within-batch near-dups collapse to the min-id canonical
+    (LSH self-pairs + SKIP); (2) survivors probe the accumulated band
+    table — band-hash the batch only, equi-join, exact-verify against only
+    collided corpus docs; (3) survivors build a posting segment and append
+    their band hashes + text to the dedup state. State layout under
+    ``index_root/dedup/``: ``bands/`` (doc_id, band_id, band_hash) and
+    ``docs/`` (doc_id, text), both append-only parquet. A crash-replayed
+    batch may re-append state rows: candidate pairs are ``distinct`` so
+    duplicate band rows are harmless, and the corpus read drops duplicate
+    doc ids, so the check stays correct; compaction is the place to dedup
+    state files for space.
+
+    Probe cost per batch scales with the batch and its collisions, never
+    with corpus size — the property that matters when the accumulated
+    corpus is 10^12 docs and the batch is a crawl increment."""
+    from ..operators.dedup import (
+        apply_dedup_action,
+        minhash_band_hashes,
+        minhash_lsh_pairs,
+        near_dup_check_incremental,
+    )
+
+    bands_dir = os.path.join(index_root, "dedup", "bands")
+    store_dir = os.path.join(index_root, "dedup", "docs")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..build.manifest import build_index
+
+        docs = pages_to_docs(batch_df)
+        if not docs.head(1):
+            return
+        intra = minhash_lsh_pairs(docs, jaccard_threshold=jaccard_threshold)
+        docs = apply_dedup_action(docs, intra, action="skip")
+        if os.path.isdir(bands_dir):
+            band_table = spark.read.parquet(bands_dir)
+            corpus = (spark.read.parquet(store_dir)
+                      .dropDuplicates(["doc_id"]))
+            flagged = near_dup_check_incremental(
+                docs, corpus, band_table=band_table,
+                jaccard_threshold=jaccard_threshold)
+            docs = docs.join(flagged.select("doc_id").distinct(), "doc_id",
+                             "left_anti")
+        docs = docs.localCheckpoint()  # one computation feeds three writes
+        if not docs.head(1):
+            return
+        seg_dir = os.path.join(index_root, "segments", f"{batch_id:06d}")
+        build_index(spark, docs, seg_dir, n_shards=n_shards)
+        minhash_band_hashes(docs).write.mode("append").parquet(bands_dir)
+        docs.select("doc_id", "text").write.mode("append").parquet(store_dir)
+
+    w = (
+        stream_pages(spark, src_dir).writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime="2 seconds")
+    return w.start()
+
+
 def list_segments(index_root: str) -> list[str]:
     seg_root = os.path.join(index_root, "segments")
     if not os.path.isdir(seg_root):

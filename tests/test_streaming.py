@@ -101,3 +101,77 @@ def test_windowed_event_counts_stream_matches_batch(spark, tmp_path_factory):
     want = {(str(r["window_start"]), r["event_type"]): (r["n"], round(r["s"], 6))
             for r in batch}
     assert got == want
+
+
+def test_dedup_checked_ingest_skips_near_dups_across_batches(
+        spark, tmp_path_factory):
+    """Phase 1 indexes two distinct pages; phase 2 drops a near-copy of a
+    phase-1 page plus a novel page — only the novel page may reach the
+    phase-2 segment, and the dedup state grows by exactly the survivors."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from hybrid_search_engine_spark.streaming.ingest import (
+        dedup_checked_ingest,
+        list_segments,
+    )
+
+    base_txt = ("the quick brown fox jumps over the lazy dog while the cat "
+                "watches from the warm windowsill in the afternoon sun")
+    other_txt = ("completely different content about shuffle partitions "
+                 "broadcast joins and adaptive query execution in spark")
+    novel_txt = ("a third topic entirely concerning parquet row group "
+                 "statistics and column pruning for analytic scans")
+
+    def write_pages(path, rows):
+        ts = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+        pq.write_table(pa.table({
+            "url": pa.array([u for u, _ in rows], pa.string()),
+            "warc_ts": pa.array([ts] * len(rows), pa.timestamp("us", tz="UTC")),
+            "html": pa.array(
+                [f"<html><body><p>{t}</p></body></html>".encode()
+                 for _, t in rows], pa.binary()),
+            "text": pa.array([t for _, t in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        }), path)
+
+    base = tmp_path_factory.mktemp("dedup_stream")
+    src = base / "incoming"
+    src.mkdir()
+    index_root = str(base / "idx")
+    ckpt = str(base / "ckpt")
+
+    write_pages(str(src / "b0.parquet"),
+                [("http://a/1", base_txt), ("http://a/2", other_txt)])
+    dedup_checked_ingest(spark, str(src), index_root, ckpt,
+                         n_shards=2).awaitTermination()
+    segs1 = list_segments(index_root)
+    assert len(segs1) == 1
+
+    write_pages(str(src / "b1.parquet"),
+                [("http://a/3", base_txt + " tail"),  # near-dup of /1
+                 ("http://a/4", novel_txt)])
+    dedup_checked_ingest(spark, str(src), index_root, ckpt,
+                         n_shards=2).awaitTermination()
+    segs2 = list_segments(index_root)
+    assert len(segs2) == 2
+    new_seg = [s for s in segs2 if s not in segs1][0]
+
+    ids = {u: r["id"] for u, r in zip(
+        ["http://a/1", "http://a/2", "http://a/3", "http://a/4"],
+        spark.createDataFrame(
+            [(u,) for u in ["http://a/1", "http://a/2",
+                            "http://a/3", "http://a/4"]], "url string")
+        .select(F.xxhash64("url").alias("id")).collect())}
+
+    seg_docs = {r["doc_id"] for r in spark.read.parquet(
+        os.path.join(new_seg, "stats", "doc_stats")).select("doc_id").collect()}
+    assert ids["http://a/4"] in seg_docs
+    assert ids["http://a/3"] not in seg_docs  # near-dup skipped
+
+    store = {r["doc_id"] for r in spark.read.parquet(
+        os.path.join(index_root, "dedup", "docs")).collect()}
+    assert store == {ids["http://a/1"], ids["http://a/2"], ids["http://a/4"]}
