@@ -105,8 +105,8 @@ def main() -> None:
     # --- training-data-pipeline operators (dedup / similarity / quality) ---
     from hybrid_search_engine_spark import contract_ext
 
-    for name in ["minhash_sig", "knn_batch", "quality", "lang_detect",
-                 "repetition"]:
+    for name in ["minhash_sig", "knn_batch", "knn_ivf", "quality",
+                 "lang_detect", "repetition"]:
         fn = contract_ext.QUERIES_EXT[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).write.format("noop").mode(
             "overwrite").save())

@@ -322,3 +322,21 @@ def test_near_dup_check_incremental_two_batches_with_band_table(spark):
                 batch2, corpus2, band_table=table2,
                 jaccard_threshold=0.8).collect()}
     assert got2 == {(20, 11)}
+
+
+def test_near_dup_check_probe_bucket_cap(spark):
+    """A degenerate band bucket (every corpus doc identical) is dropped at
+    probe time when it exceeds probe_bucket_cap — the skew guard that stops
+    a boilerplate band from fanning every probe out by the bucket size."""
+    from hybrid_search_engine_spark.operators.dedup import (
+        near_dup_check_incremental,
+    )
+
+    corpus = _mk_docs(spark, [(i, BASE) for i in range(1, 4)])
+    new = _mk_docs(spark, [(100, BASE)])
+    capped = near_dup_check_incremental(new, corpus, jaccard_threshold=0.8,
+                                        probe_bucket_cap=2)
+    assert capped.count() == 0
+    uncapped = near_dup_check_incremental(new, corpus, jaccard_threshold=0.8,
+                                          probe_bucket_cap=0)
+    assert {r["dup_of"] for r in uncapped.collect()} == {1, 2, 3}
