@@ -165,6 +165,31 @@ def dedup_checked_ingest(spark: SparkSession, src_dir: str, index_root: str,
     return w.start()
 
 
+def compact_dedup_state(spark: SparkSession, index_root: str) -> None:
+    """Dedup-state maintenance for ``dedup_checked_ingest``: a
+    crash-replayed batch may re-append rows to ``dedup/bands`` and
+    ``dedup/docs`` — harmless for correctness (candidates are distinct,
+    duplicate doc ids are dropped on read) but costly in space and probe
+    fan-out. Rewrite both dirs with exact duplicates dropped. In
+    production this is an Iceberg rewrite-data-files action; here:
+    write-new → swap → delete-old (the swap window is not atomic — run
+    between, not during, ingest triggers)."""
+    import shutil
+
+    for sub, keys in (("bands", ["doc_id", "band_id", "band_hash"]),
+                      ("docs", ["doc_id"])):
+        d = os.path.join(index_root, "dedup", sub)
+        if not os.path.isdir(d):
+            continue
+        tmp = d + "__compacting"
+        (spark.read.parquet(d).dropDuplicates(keys)
+         .write.mode("overwrite").parquet(tmp))
+        old = d + "__old"
+        os.rename(d, old)
+        os.rename(tmp, d)
+        shutil.rmtree(old)
+
+
 def list_segments(index_root: str) -> list[str]:
     seg_root = os.path.join(index_root, "segments")
     if not os.path.isdir(seg_root):

@@ -175,3 +175,24 @@ def test_dedup_checked_ingest_skips_near_dups_across_batches(
     store = {r["doc_id"] for r in spark.read.parquet(
         os.path.join(index_root, "dedup", "docs")).collect()}
     assert store == {ids["http://a/1"], ids["http://a/2"], ids["http://a/4"]}
+
+
+def test_compact_dedup_state_drops_replay_duplicates(spark, tmp_path_factory):
+    from hybrid_search_engine_spark.streaming.ingest import compact_dedup_state
+
+    root = str(tmp_path_factory.mktemp("dedup_compact") / "idx")
+    bands = spark.createDataFrame(
+        [(1, 0, "h1"), (1, 1, "h2"), (2, 0, "h3")],
+        "doc_id long, band_id int, band_hash string")
+    docs = spark.createDataFrame([(1, "t1"), (2, "t2")],
+                                 "doc_id long, text string")
+    for df, sub in ((bands, "bands"), (docs, "docs")):
+        p = os.path.join(root, "dedup", sub)
+        df.write.mode("append").parquet(p)
+        df.write.mode("append").parquet(p)  # simulated crash replay
+
+    compact_dedup_state(spark, root)
+    b = spark.read.parquet(os.path.join(root, "dedup", "bands"))
+    d = spark.read.parquet(os.path.join(root, "dedup", "docs"))
+    assert b.count() == 3 and d.count() == 2
+    assert not os.path.isdir(os.path.join(root, "dedup", "bands__old"))
