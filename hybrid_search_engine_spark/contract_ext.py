@@ -1566,6 +1566,34 @@ FROM documents d LEFT JOIN w USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# deterministic train/val/test split (operators/dataset.py::split_dataset —
+# md5-bucketed by key, fixed-width-hex threshold compare so the oracle
+# evaluates the identical string comparison)
+# ---------------------------------------------------------------------------
+
+def q_dataset_split(spark, sf_dir):
+    from .operators.dataset import split_dataset
+
+    d = _docs(spark, sf_dir)
+    return split_dataset(d.select("doc_id"), seed=42).select("doc_id", "split")
+
+
+def _sql_dataset_split():
+    from .operators.dataset import _thresholds
+
+    ths = _thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    case = "CASE " + " ".join(
+        f"WHEN h8 < '{th}' THEN '{name}'" for name, th in ths[:-1]
+    ) + f" ELSE '{ths[-1][0]}' END"
+    return f"""
+WITH h AS (SELECT doc_id,
+                  substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+           FROM documents)
+SELECT doc_id, {case} AS split FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1585,6 +1613,7 @@ QUERIES_EXT = {
     "script_detect": q_script_detect,
     "snippets": q_snippets,
     "dedup_action": q_dedup_action,
+    "dataset_split": q_dataset_split,
     "dedup_groups": q_dedup_groups,
     "repetition": q_repetition,
     "quality": q_quality,
@@ -1624,6 +1653,7 @@ def _oracles_ext():
         "script_detect": _sql_script_detect(),
         "snippets": _sql_snippets(),
         "dedup_action": SQL_DEDUP_ACTION,
+        "dataset_split": _sql_dataset_split(),
         "dedup_groups": _sql_dedup_groups(),
         "repetition": SQL_REPETITION,
         "quality": SQL_QUALITY,

@@ -529,3 +529,44 @@ def test_repetition_metrics_matches_python_oracle(spark):
         g = got[doc_id]
         for k, v in exp.items():
             assert g[k] == v, (doc_id, k, g[k], v, text)
+
+
+def test_split_dataset_deterministic_and_complete(spark):
+    from hybrid_search_engine_spark.operators.dataset import split_dataset
+
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in split_dataset(docs, seed=1).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in split_dataset(docs.repartition(13), seed=1).collect()}
+    assert a == b  # partitioning-independent
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert abs(c["train"] / 2000 - 0.8) < 0.04
+    assert abs(c["val"] / 2000 - 0.1) < 0.03
+    # different seed reshuffles assignments
+    d = {r["doc_id"]: r["split"] for r in split_dataset(docs, seed=2).collect()}
+    assert d != a
+
+
+def test_deterministic_sample_nested_and_stable(spark):
+    from hybrid_search_engine_spark.operators.dataset import (
+        deterministic_sample,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    s10 = {r["doc_id"] for r in deterministic_sample(docs, 0.1, seed=3).collect()}
+    s30 = {r["doc_id"] for r in deterministic_sample(docs, 0.3, seed=3).collect()}
+    assert s10 <= s30  # nested ladders
+    assert abs(len(s10) / 2000 - 0.1) < 0.03
+    assert abs(len(s30) / 2000 - 0.3) < 0.04
+    again = {r["doc_id"] for r in
+             deterministic_sample(docs.repartition(7), 0.1, seed=3).collect()}
+    assert again == s10
+    assert deterministic_sample(docs, 1.0).count() == 2000
+    assert deterministic_sample(docs, 0.0).count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        deterministic_sample(docs, 1.5)
