@@ -432,12 +432,18 @@ def main() -> None:
 
     print(json.dumps(report))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "MULTIJVM.json"), "w") as f:
+    # never clobber the curated gate report: first run owns MULTIJVM.*,
+    # later runs (reproducibility attempts) land in *_latest_run.* and are
+    # integrated into the curated MD by hand with their validity analysis
+    suffix = "" if not os.path.exists(
+        os.path.join(REPO, "BENCH", "MULTIJVM.md")) else "_latest_run"
+    with open(os.path.join(REPO, "BENCH", f"MULTIJVM{suffix}.json"),
+              "w") as f:
         json.dump(report, f, indent=1)
-    _write_md(report, protocols)
+    _write_md(report, protocols, suffix)
 
 
-def _write_md(report: dict, protocols: list[str]) -> None:
+def _write_md(report: dict, protocols: list[str], suffix: str = "") -> None:
     lo_k, hi_k = report["k_pair"]
     c = report["cores_per_exec"]
     lines = [
@@ -493,9 +499,9 @@ def _write_md(report: dict, protocols: list[str]) -> None:
         "",
         "Raw: " + json.dumps(report),
     ]
-    with open(os.path.join(REPO, "BENCH", "MULTIJVM.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"MULTIJVM{suffix}.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
-    print("wrote BENCH/MULTIJVM.md", file=sys.stderr)
+    print(f"wrote BENCH/MULTIJVM{suffix}.md", file=sys.stderr)
 
 
 if __name__ == "__main__":
