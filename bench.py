@@ -154,14 +154,22 @@ def main() -> None:
         batch_1k, k=10).write.format("noop").mode("overwrite").save())
 
     total = round(sum(timings.values()), 4)
-    # the round-2 headline set — new rows added later rounds inflate the
-    # grand total, so cross-round comparisons should use this sub-total
+    # frozen per-round headline sets — new rows added in later rounds
+    # inflate the grand total, so cross-round comparisons use these
+    # sub-totals. R02_KEYS = exactly the 17 rows BENCH_r02.json reported
+    # (round 3 mistakenly included lang_detect, overstating the comparable
+    # subtotal by ~1.6 s; fixed per the round-3 verdict).
     R02_KEYS = {
         "index_build", "bm25_query_pruned", "bm25_query_exact_cached",
         "bm25_query_exact_path", "doc_term_tf", "term_stats", "doc_metadata",
         "pricing_summary", "nation_revenue", "top_orders_per_customer",
         "topk_orders", "events_json", "dedup_exact", "event_windows",
-        "minhash_sig", "knn_batch", "quality", "lang_detect",
+        "minhash_sig", "knn_batch", "quality",
+    }
+    # exactly the 24 rows BENCH_r03.json reported
+    R03_KEYS = R02_KEYS | {
+        "lang_detect", "knn_ivf", "repetition", "minhash_fast",
+        "dedup_groups_lsh", "bm25_query_p95", "bm25_batch_1k",
     }
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -170,6 +178,8 @@ def main() -> None:
         "unit": "sec",
         "value_r02_comparable": round(
             sum(v for k, v in timings.items() if k in R02_KEYS), 4),
+        "value_r03_comparable": round(
+            sum(v for k, v in timings.items() if k in R03_KEYS), 4),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_docs_indexed": n_docs,

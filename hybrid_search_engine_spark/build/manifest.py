@@ -39,6 +39,7 @@ from ..operators.postings import (
     shard_metrics,
     write_postings,
 )
+from ..localdf import local_df
 from ..operators.stats import term_frequencies_with_doclen, term_stats
 
 MANIFEST_NAME = "_manifest.jsonl"
@@ -375,9 +376,9 @@ class IndexReader:
         idf = resolve_term_idf(self._tstats_arg, sorted(toks))
         rows = [(0, t, float(w), idf[t]) for t, w in toks.items() if t in idf]
         if not rows:
-            return self.spark.createDataFrame([], "doc_id long, score double")
-        qdf = self.spark.createDataFrame(
-            rows, "query_id int, term string, qweight double, idf double")
+            return local_df(self.spark, [], "doc_id long, score double")
+        qdf = local_df(
+            self.spark, rows, "query_id int, term string, qweight double, idf double")
         # isin literal filter BEFORE the join: the broadcast join alone scans
         # every cached batch probing the hash table; the literal predicate
         # lets InMemoryTableScan skip batches by term min/max stats (the

@@ -31,6 +31,7 @@ from .functions.text import (
     tokens_native,
     tokens_native_keep_order,
 )
+from .localdf import local_df
 from .operators import score as score_ops
 from .operators import stats as stats_ops
 from .reference_semantics import STOPWORDS
@@ -238,8 +239,11 @@ DOCS_PLUS_PLANTED_SQL = (
 
 
 def _docs_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # local_df, not createDataFrame: a Python-list DF is a Python-RDD scan
+    # that forks a pyspark worker per action (~0.5 s); the VALUES-rendered
+    # LocalRelation unions with the parquet scan at zero marginal cost
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    p = spark.createDataFrame(PLANTED_WS_DOCS, schema="doc_id long, text string")
+    p = local_df(spark, PLANTED_WS_DOCS, "doc_id long, text string")
     return d.unionByName(p)
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from .contract import (FLAGSHIP_QUERY, FLAGSHIP_TERMS, NORM_SQL, STOP_SQL,
                        TOK_SQL, _docs)
 from .functions.text import NONWS_CLASS_SQL, WS_CHARS_SQL, WS_CLASS_SQL
+from .localdf import local_df
 from .functions.analysis import (
     LANG_FUNCTION_WORDS,
     content_fingerprint,
@@ -255,8 +256,8 @@ def q_embedding_near_pairs(spark, sf_dir):
     from .operators.dedup import embedding_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = spark.createDataFrame(
-        _planted_embeddings_padded(), "vec_id bigint, embedding array<float>")
+    planted = local_df(
+        spark, _planted_embeddings_padded(), "vec_id bigint, embedding array<float>")
     emb = emb.unionByName(planted.select(
         F.col("vec_id").cast(dict(emb.dtypes)["vec_id"]),
         F.col("embedding").cast(dict(emb.dtypes)["embedding"])))

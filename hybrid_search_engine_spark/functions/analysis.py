@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..localdf import local_df
 from ..reference_semantics import STOPWORDS
 from .text import NONWS_CLASS, tokens_native
 
@@ -390,7 +391,7 @@ def lang_word_table(spark):
     for idx, (lang, ws) in enumerate(LANG_FUNCTION_WORDS.items()):
         for w in sorted(set(ws)):
             rows.append((w, lang, idx))
-    return spark.createDataFrame(rows, "word string, lang string, lang_idx int")
+    return local_df(spark, rows, "word string, lang string, lang_idx int")
 
 
 def detect_language_df(df, text_col: str = "text", key_col: str = "doc_id",

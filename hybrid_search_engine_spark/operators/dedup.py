@@ -725,13 +725,17 @@ def _cc_local(e: DataFrame) -> DataFrame:
         T.StructField("node", e.schema[0].dataType, True),
         T.StructField("component", e.schema[1].dataType, True),
     ])
-    return e.sparkSession.createDataFrame(rows, schema)
+    from ..localdf import local_df
+
+    return local_df(e.sparkSession, rows, schema)
 
 
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                          b_col: str = "doc_b",
                          max_rounds: int = 50,
-                         local_threshold: int = 500_000) -> DataFrame:
+                         local_threshold: int = 500_000,
+                         reliable_checkpoint_dir: str | None = None
+                         ) -> DataFrame:
     """→ (node, component): component = min node id reachable in the
     undirected near-dup pair graph — the exact transitive closure that
     ``apply_dedup_action``'s one-hop canonical map approximates.
@@ -771,12 +775,33 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     scheduling vs 1.1 s local finish; the gap grows with rounds needed).
     The default bounds driver memory at ~tens of MB; pass 0 to force the
     fully-distributed path.
+
+    Termination proof, not just a hash: when consecutive signatures
+    match, equality is CONFIRMED with one ``exceptAll(...).isEmpty()``
+    job (equal distinct counts + empty difference ⇒ identical edge
+    sets), so a hash-sum collision between different edge sets cannot
+    terminate the loop early — a collision merely costs one extra round.
+
+    Reliability at cluster scale: ``localCheckpoint`` stores truncated
+    lineage in executor-local storage — if an executor dies
+    mid-iteration the job fails and must restart (acceptable here: the
+    loop is minutes, and the star rounds are deterministic). Set
+    ``reliable_checkpoint_dir`` (an HDFS/S3 path) to use replicated
+    ``checkpoint()`` instead, the standard trade for multi-hour
+    1000-executor runs.
     """
-    e = (pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
-         .where(F.col("x") != F.col("y"))
-         .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
-         .distinct()
-         .localCheckpoint())
+    if reliable_checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(
+            reliable_checkpoint_dir)
+        _ckpt = lambda df: df.checkpoint()  # noqa: E731 — replicated
+    else:
+        _ckpt = lambda df: df.localCheckpoint()  # noqa: E731
+
+    e = _ckpt(
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+        .distinct())
     n = e.count()
     if n == 0:
         return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
@@ -805,16 +830,21 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
               .where(F.col("x") != F.col("y"))
               .select(F.greatest("x", "y").alias("u"),
                       F.least("x", "y").alias("v"))
-              .distinct()
-              .localCheckpoint())
+              .distinct())
+        e2 = _ckpt(e2)
         row = e2.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).first()
         sig = (row["n"], row["h"])
-        e, n = e2, row["n"]
+        e_prev, e, n = e, e2, row["n"]
         if sig == prev_sig:
-            break
+            # signature match is a screen, not the proof: confirm set
+            # equality (counts already equal; empty one-sided difference
+            # of distinct sets ⇒ identical), so a hash collision can't
+            # end the loop on the wrong edge set
+            if e2.exceptAll(e_prev).isEmpty():
+                break
         prev_sig = sig
     else:
         raise RuntimeError(

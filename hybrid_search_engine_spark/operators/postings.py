@@ -189,10 +189,10 @@ def build_postings(tf: DataFrame, dstats: DataFrame | None, tstats: DataFrame,
 
     ensure_udf_serializable()
     enriched = tf if dstats is None else tf.join(dstats, "doc_id")
-    enriched = enriched.join(F.broadcast(tstats.select("term", "idf")), "term")
-    enriched = with_shard(enriched, n_shards)
+    shard_expr = F.pmod(F.hash(F.col("doc_id")), F.lit(n_shards)).cast("int")
     if shard_filter is not None:
-        enriched = enriched.where(F.col("shard_id").isin([int(s) for s in shard_filter]))
+        enriched = enriched.where(
+            shard_expr.isin([int(s) for s in shard_filter]))
     # Partition the ENCODE stage by (shard_id, term_bucket), not shard_id
     # alone: hashing only n_shards distinct keys into n_shards partitions is
     # balls-in-bins (empty partitions + 3-4× stragglers). The sub-bucket on
@@ -202,14 +202,28 @@ def build_postings(tf: DataFrame, dstats: DataFrame | None, tstats: DataFrame,
     # the Zipf-head term of a shard still lands in a bounded cell.
     p = build_partitions or 2 * n_shards
     sub = max(1, (p + n_shards - 1) // n_shards)
-    enriched = enriched.withColumn(
-        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(sub)).cast("int"))
+    bucket_expr = F.pmod(F.xxhash64("term"), F.lit(sub)).cast("int")
+    # Shuffle-payload diet (the tf-grain exchange is THE dominant shuffle
+    # of the whole build, so every byte per row is ~15 bytes/doc at 15
+    # tokens/doc): partition keys are passed as EXPRESSIONS so neither
+    # shard_id nor term_bucket rides the wire (both recomputable from
+    # doc_id/term post-shuffle); tf and doc_len travel as int32 (doc_len <
+    # 2^31 by construction — a single doc's token count); idf does NOT
+    # travel at all — it is a per-term constant that the pre-shuffle join
+    # would duplicate onto every tf row, so the vocabulary-sized broadcast
+    # join runs AFTER the exchange instead (BroadcastHashJoin streams, so
+    # per-partition cost is unchanged; rows gain idf only between the
+    # exchange and the sort). Measured: 38 → 22 shuffle bytes/row at sf1.
+    slim = enriched.select(
+        "term", "doc_id",
+        F.col("tf").cast("int").alias("tf"),
+        F.col("doc_len").cast("int").alias("doc_len"),
+    ).repartition(n_shards * sub, shard_expr, bucket_expr)
     sorted_runs = (
-        enriched.select("shard_id", "term_bucket", "term", "doc_id", "tf",
-                        "doc_len", "idf")
-        .repartition(n_shards * sub, "shard_id", "term_bucket")
+        slim.join(F.broadcast(tstats.select("term", "idf")), "term")
+        .select(shard_expr.alias("shard_id"), "term", "doc_id", "tf",
+                "doc_len", "idf")
         .sortWithinPartitions("shard_id", "term", "doc_id")
-        .drop("term_bucket")
     )
     return sorted_runs.mapInArrow(
         _encoder_stream(k1, b, avgdl, block_size), schema=POSTING_SCHEMA

@@ -29,6 +29,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localdf import local_df
+
 ENTRIES_DIR = "entries"
 
 
@@ -61,9 +63,10 @@ class ResultCache:
         key = make_key(query, **params)
         row = [(key, query, json.dumps(params, sort_keys=True),
                 float(time.time()), json.dumps(results))]
-        df = self.spark.createDataFrame(
-            row, "key string, query string, params_json string, "
-                 "created_at double, payload string")
+        df = local_df(
+            self.spark, row,
+            "key string, query string, params_json string, "
+            "created_at double, payload string")
         df.write.mode("append").parquet(self.dir)
         return key
 

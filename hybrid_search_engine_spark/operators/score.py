@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..localdf import local_df
 from ..reference_semantics import tokenize
 
 K1_DEFAULT = 1.5
@@ -42,7 +43,7 @@ def query_terms_df(spark: SparkSession, query: str, remove_stopwords: bool = Tru
     from collections import Counter
 
     rows = [(query_id, t, float(w)) for t, w in Counter(toks).items()]
-    return spark.createDataFrame(rows, "query_id int, term string, qweight double")
+    return local_df(spark, rows, "query_id int, term string, qweight double")
 
 
 def queries_terms_df(spark: SparkSession, queries: list[tuple],
@@ -54,7 +55,7 @@ def queries_terms_df(spark: SparkSession, queries: list[tuple],
     for qid, text in queries:
         for t, w in Counter(tokenize(text, remove_stopwords=remove_stopwords)).items():
             rows.append((qid, t, float(w)))
-    return spark.createDataFrame(rows, "query_id int, term string, qweight double")
+    return local_df(spark, rows, "query_id int, term string, qweight double")
 
 
 def bm25_contribution(k1: float = K1_DEFAULT, b: float = B_DEFAULT):

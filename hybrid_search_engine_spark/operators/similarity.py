@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..localdf import local_df
+
 
 def _dot_lit(vec_col, qvec: list[float]):
     arr = F.array(*[F.lit(float(x)) for x in qvec])
@@ -302,7 +304,7 @@ def ann_search(spark: SparkSession, ann_index: DataFrame, qvec: list[float],
                multiprobe_hamming: int = 1) -> DataFrame:
     """Probe the bucket of qvec (± buckets within hamming 1 — multiprobe
     recovers boundary losses), exact cosine re-rank on candidates only."""
-    one = spark.createDataFrame([(qvec,)], "v array<double>")
+    one = local_df(spark, [(qvec,)], "v array<double>")
     qb = one.select(hyperplane_bucket(F.col("v"), n_planes, seed).alias("b")
                     ).first()["b"]
     probes = {qb}

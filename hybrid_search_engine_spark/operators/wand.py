@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..localdf import local_df
 from ..reference_semantics import tokenize
 from .codec import bm25_impact, decode_block
 
@@ -251,8 +252,8 @@ def search_index_batch(spark: SparkSession, postings: DataFrame, tstats,
     term_idf = resolve_term_idf(tstats, all_terms) if all_terms else {}
     qsinfo = _queries_info(queries, term_idf, remove_stopwords)
     if not qsinfo:
-        return spark.createDataFrame(
-            [], "query_id int, rank int, doc_id long, score double")
+        return local_df(
+            spark, [], "query_id int, rank int, doc_id long, score double")
 
     from .. import ensure_udf_serializable
 
@@ -284,7 +285,7 @@ def search_index(spark: SparkSession, postings: DataFrame, tstats,
     term_idf = resolve_term_idf(tstats, terms) if terms else {}
     qsinfo = _queries_info([(0, query)], term_idf, remove_stopwords)
     if not qsinfo:
-        return spark.createDataFrame([], "doc_id long, score double")
+        return local_df(spark, [], "doc_id long, score double")
 
     from .. import ensure_udf_serializable
 

@@ -117,7 +117,15 @@ def dedup_checked_ingest(spark: SparkSession, src_dir: str, index_root: str,
 
     Probe cost per batch scales with the batch and its collisions, never
     with corpus size — the property that matters when the accumulated
-    corpus is 10^12 docs and the batch is a crawl increment."""
+    corpus is 10^12 docs and the batch is a crawl increment.
+
+    State-store portability: existence checks and compaction swaps use
+    local-FS primitives (os.path.isdir / os.rename), correct for this
+    harness's POSIX paths; a cluster deployment over HDFS/S3 would route
+    them through the Hadoop FileSystem API or replace the band/doc state
+    dirs with Iceberg tables (append = commit, compaction = rewrite
+    action) — the dataflow (band-hash batch → equi-join vs state →
+    verify collided only) is storage-agnostic."""
     from ..operators.dedup import (
         apply_dedup_action,
         minhash_band_hashes,
@@ -127,6 +135,8 @@ def dedup_checked_ingest(spark: SparkSession, src_dir: str, index_root: str,
 
     bands_dir = os.path.join(index_root, "dedup", "bands")
     store_dir = os.path.join(index_root, "dedup", "docs")
+    # a compaction crash mid-swap must not make the corpus look empty
+    recover_dedup_state(index_root)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..build.manifest import build_index
@@ -165,17 +175,63 @@ def dedup_checked_ingest(spark: SparkSession, src_dir: str, index_root: str,
     return w.start()
 
 
+def recover_dedup_state(index_root: str) -> None:
+    """Repair a ``compact_dedup_state`` swap interrupted by a crash.
+
+    The swap sequence is: write ``<dir>__compacting`` (complete iff its
+    ``_SUCCESS`` marker exists) → rename live → ``<dir>__old`` → rename
+    tmp → live → delete old. A crash between the two renames would leave
+    NO live dir; without recovery the next ``dedup_checked_ingest`` batch
+    would see ``os.path.isdir(bands_dir)`` false and silently skip corpus
+    dedup, re-admitting duplicates. This routine restores the newest
+    complete snapshot (finish the swap if tmp is complete, else roll back
+    to old) and clears stray leftovers; it runs at every ingest start and
+    compaction start, so the state is never silently treated as empty.
+
+    Local-FS primitives (os.rename / shutil.rmtree) — see the note on
+    ``compact_dedup_state``."""
+    import shutil
+
+    for sub in ("bands", "docs"):
+        d = os.path.join(index_root, "dedup", sub)
+        tmp, old = d + "__compacting", d + "__old"
+        if os.path.isdir(d):
+            # live dir intact: leftovers are garbage from a crash just
+            # before the swap (stale tmp) or just after it (stale old)
+            for leftover in (tmp, old):
+                if os.path.isdir(leftover):
+                    shutil.rmtree(leftover)
+            continue
+        if os.path.isfile(os.path.join(tmp, "_SUCCESS")):
+            os.rename(tmp, d)  # tmp was fully written: finish the swap
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+        elif os.path.isdir(old):
+            os.rename(old, d)  # tmp incomplete: roll back
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+        elif os.path.isdir(tmp):
+            shutil.rmtree(tmp)  # incomplete tmp, nothing to restore
+
+
 def compact_dedup_state(spark: SparkSession, index_root: str) -> None:
     """Dedup-state maintenance for ``dedup_checked_ingest``: a
     crash-replayed batch may re-append rows to ``dedup/bands`` and
     ``dedup/docs`` — harmless for correctness (candidates are distinct,
     duplicate doc ids are dropped on read) but costly in space and probe
     fan-out. Rewrite both dirs with exact duplicates dropped. In
-    production this is an Iceberg rewrite-data-files action; here:
-    write-new → swap → delete-old (the swap window is not atomic — run
-    between, not during, ingest triggers)."""
+    production this is an Iceberg rewrite-data-files action (atomic
+    snapshot commit); here it is write-new → swap → delete-old over
+    **local-FS primitives** (os.rename/shutil.rmtree — this module's file
+    juggling assumes a POSIX path also readable by spark.read.parquet; on
+    HDFS/S3 route these through the Hadoop FileSystem API or use the
+    table format's rewrite action). A crash anywhere in the swap is
+    repaired by ``recover_dedup_state``, which both this function and
+    every ingest start run first. Run between, not during, ingest
+    triggers."""
     import shutil
 
+    recover_dedup_state(index_root)
     for sub, keys in (("bands", ["doc_id", "band_id", "band_hash"]),
                       ("docs", ["doc_id"])):
         d = os.path.join(index_root, "dedup", sub)

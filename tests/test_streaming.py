@@ -196,3 +196,54 @@ def test_compact_dedup_state_drops_replay_duplicates(spark, tmp_path_factory):
     d = spark.read.parquet(os.path.join(root, "dedup", "docs"))
     assert b.count() == 3 and d.count() == 2
     assert not os.path.isdir(os.path.join(root, "dedup", "bands__old"))
+
+
+def test_recover_dedup_state_mid_swap_crash(spark, tmp_path_factory):
+    """A crash between the two swap renames leaves NO live bands/ dir;
+    recovery must restore the newest complete snapshot instead of letting
+    the next ingest treat the corpus as empty."""
+    import shutil
+
+    from hybrid_search_engine_spark.streaming.ingest import (
+        compact_dedup_state,
+        recover_dedup_state,
+    )
+
+    root = str(tmp_path_factory.mktemp("dedup_recover") / "idx")
+    bands = spark.createDataFrame(
+        [(1, 0, "h1"), (2, 0, "h2")], "doc_id long, band_id int, band_hash string")
+    live = os.path.join(root, "dedup", "bands")
+    bands.write.mode("append").parquet(live)
+    docs_live = os.path.join(root, "dedup", "docs")
+    spark.createDataFrame([(1, "t1")], "doc_id long, text string") \
+        .write.mode("append").parquet(docs_live)
+
+    # crash state A: tmp fully written (_SUCCESS), live renamed to __old,
+    # second rename never happened
+    bands.limit(1).write.mode("overwrite").parquet(live + "__compacting")
+    os.rename(live, live + "__old")
+    assert not os.path.isdir(live)
+    recover_dedup_state(root)
+    assert os.path.isdir(live)
+    assert spark.read.parquet(live).count() == 1  # finished the swap
+    assert not os.path.isdir(live + "__old")
+    assert not os.path.isdir(live + "__compacting")
+
+    # crash state B: tmp incomplete (no _SUCCESS), live renamed away →
+    # roll back to __old
+    bands.write.mode("overwrite").parquet(live + "__compacting")
+    os.remove(os.path.join(live + "__compacting", "_SUCCESS"))
+    os.rename(live, live + "__old")
+    recover_dedup_state(root)
+    assert os.path.isdir(live)
+    assert spark.read.parquet(live).count() == 1  # rolled back
+    assert not os.path.isdir(live + "__compacting")
+
+    # crash state C: live intact, stale leftovers → cleared
+    shutil.copytree(live, live + "__old")
+    recover_dedup_state(root)
+    assert os.path.isdir(live) and not os.path.isdir(live + "__old")
+
+    # compaction itself runs recovery first and still works end-to-end
+    compact_dedup_state(spark, root)
+    assert spark.read.parquet(live).count() == 1
