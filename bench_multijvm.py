@@ -163,6 +163,19 @@ def child_cluster(k: int, cores_per_exec: int, pages_path: str, out_json: str) -
     for kv in filter(None, os.environ.get("HSE_MJ_EXTRA_CONF", "").split(",")):
         key, _, val = kv.partition("=")
         extra[key.strip()] = val.strip()
+    # HSE_MJ_SCRATCH=/dev/shm puts shuffle files AND the built index on
+    # tmpfs for BOTH K legs (same substrate, fair ratio): this VM's
+    # recurring multi-minute disk-write bursts land preferentially on the
+    # long K=4/4M leg (round-3 record: 18-42× task write-time inflation on
+    # byte-identical work), turning the scaling ratio into a measurement
+    # of the co-tenant's burst schedule. A real cluster's executors write
+    # to per-node disks with no co-tenant; tmpfs is the closest local
+    # stand-in. RAM budget at K=4/4M: ~9 GB shuffle + ~4 GB index on a
+    # 125 GB host.
+    scratch = os.environ.get("HSE_MJ_SCRATCH")
+    if scratch:
+        extra["spark.local.dir"] = tempfile.mkdtemp(
+            prefix=f"mjlocal{k}_", dir=scratch)
     spark = get_spark(
         app=f"mjcluster{k}x{cores_per_exec}",
         cores=total,  # sizes shuffle width identically to local[total]
@@ -173,7 +186,8 @@ def child_cluster(k: int, cores_per_exec: int, pages_path: str, out_json: str) -
         spark.range(1000).count()  # force executor registration first
         _repin_cluster_tree(k, cores_per_exec)
     docs, n_docs = _warmup_and_docs(spark, pages_path, total)
-    idx_dir = os.path.join(tempfile.mkdtemp(prefix=f"mjc{k}_"), "idx")
+    idx_dir = os.path.join(
+        tempfile.mkdtemp(prefix=f"mjc{k}_", dir=scratch or None), "idx")
     t0 = time.time()
     build_index(spark, docs, idx_dir, n_shards=32)
     build_s = time.time() - t0
@@ -219,6 +233,8 @@ def child_cluster(k: int, cores_per_exec: int, pages_path: str, out_json: str) -
     # children clean their own scratch
     import shutil
     shutil.rmtree(os.path.dirname(idx_dir), ignore_errors=True)
+    if scratch and "spark.local.dir" in extra:
+        shutil.rmtree(extra["spark.local.dir"], ignore_errors=True)
     if eventlog_dir:
         shutil.rmtree(eventlog_dir, ignore_errors=True)
 

@@ -331,8 +331,16 @@ class IndexReader:
         with open(os.path.join(index_dir, "stats", "corpus.json")) as f:
             self.corpus = json.load(f)
         if cache_postings:
-            self.postings = self.postings.repartition(
-                int(self.corpus["n_shards"]), "shard_id").cache()
+            # partition count = min(n_shards, total cores): hash-partitioning
+            # by shard_id at ANY width satisfies the per-query
+            # groupBy(shard_id) ClusteredDistribution (several shards may
+            # share a partition; applyInPandas still sees whole groups), and
+            # a per-query job then runs exactly one task per core — ONE
+            # task wave. The previous fixed n_shards width ran 32 tasks on
+            # a 16-core cluster: two waves, double the per-query floor.
+            p = max(1, min(int(self.corpus["n_shards"]),
+                           spark.sparkContext.defaultParallelism))
+            self.postings = self.postings.repartition(p, "shard_id").cache()
             self.postings.count()
         self._tstats_arg = self.term_stats
         if cache_term_stats:

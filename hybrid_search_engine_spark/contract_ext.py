@@ -331,6 +331,7 @@ def _sql_lang_detect(src: str = "documents", include_given: bool = True
     (doc_id, text[, lang]) columns."""
     from .functions.analysis import (
         DISTINCTIVE_CHARS,
+        DISTINCTIVE_SEQS,
         LANG_SCRIPT_RANGES,
         SCRIPT_LANG,
     )
@@ -344,6 +345,9 @@ def _sql_lang_detect(src: str = "documents", include_given: bool = True
     dist_cols = ",\n         ".join(
         f"len(regexp_extract_all(coalesce(text,''), '{pat}')) AS d_{code}"
         for code, pat in DISTINCTIVE_CHARS.items())
+    seq_cols = ",\n         ".join(
+        f"len(regexp_extract_all(coalesce(text,''), '{pat}')) AS q_{code}"
+        for code, pat in DISTINCTIVE_SEQS.items())
     mx = "greatest(" + ", ".join(f"s_{l}" for l in LANG_FUNCTION_WORDS) + ")"
     nmx = "greatest(" + ", ".join(f"c_{s}" for s in SCRIPT_LANG) + ")"
     latin_case = ("CASE WHEN mx <= 0.02 THEN 'und' "
@@ -359,6 +363,9 @@ def _sql_lang_detect(src: str = "documents", include_given: bool = True
                 "WHEN d_bg > 0 THEN 'bg' ELSE 'ru' END")
     ar_case = ("CASE WHEN d_ur > 0 THEN 'ur' "
                "WHEN d_fa > 0 THEN 'fa' ELSE 'ar' END")
+    zh_case = "CASE WHEN d_zht > d_zhs THEN 'zh-tw' ELSE 'zh-cn' END"
+    dev_case = ("CASE WHEN q_ne > 0 THEN 'ne' "
+                "WHEN q_mr > 0 THEN 'mr' ELSE 'hi' END")
     given = "lang AS lang_given," if include_given else ""
     given_out = "lang_given," if include_given else ""
     return f"""
@@ -366,7 +373,8 @@ r AS (
   SELECT doc_id, {given}
          {score_cols},
          {count_cols},
-         {dist_cols}
+         {dist_cols},
+         {seq_cols}
   FROM {src}
 ),
 m AS (
@@ -378,8 +386,10 @@ p AS (
 SELECT doc_id, {given_out}
        CASE WHEN nmx > c_latin THEN
          CASE WHEN script_pick0 = 'zh' AND c_kana > 0 THEN 'ja'
+              WHEN script_pick0 = 'zh' THEN {zh_case}
               WHEN script_pick0 = 'ru' THEN {cyr_case}
               WHEN script_pick0 = 'ar' THEN {ar_case}
+              WHEN script_pick0 = 'hi' THEN {dev_case}
               ELSE script_pick0 END
        ELSE latin_pick END AS lang_detected
 FROM p
@@ -389,7 +399,7 @@ FROM p
 SQL_LANG_DETECT = "WITH " + _sql_lang_detect()
 
 
-# One fixed phrase per supported language (60) — the multilingual surface
+# One fixed phrase per supported language (64) — the multilingual surface
 # of detect_language (all tiers: latin argmax, script argmax, cyrillic and
 # arabic distinctive-char sub-tiers), synthesized deterministically per
 # doc_id so the contract needs no external data. Keep SQL-literal-safe
@@ -428,18 +438,22 @@ LANG_PHRASES = [
     ("af", "die hond en die kat is nie by die huis met die man nie maar dit is baie vir ons"),
     ("so", "eyga iyo bisadda kuma jiraan guriga ninka la waa oo waxa ay badan"),
     ("cy", "nid yw y ci ac y gath yn y ty gyda y dyn ond mae hefyd yn iawn"),
+    ("uz", "it va mushuk uyda odam bilan emas lekin bu juda ham yaxshi edi uchun"),
     ("ru", "собака и кошка не в доме с мужчиной это её быт был"),
     ("uk", "собака і кішка не в будинку з чоловіком її це є"),
     ("bg", "кучето и котката не са в къщата с мъжа това е много"),
     ("sr", "пас и мачка нису у кући са човеком јер је то веома"),
     ("mk", "кучето и мачката не се во куќата со човекот и ќе биде ѓавол"),
-    ("zh", "狗和猫不在房子里和人在一起"),
+    ("zh-cn", "这只狗和猫不在房子里它们说对时间"),
+    ("zh-tw", "這隻狗和貓不在房子裡它們說對時間"),
     ("ja", "犬と猫は家の中で人と一緒にいません"),
     ("ko", "개와 고양이는 집에서 사람과 함께 있지 않습니다"),
     ("ar", "الكلب والقط ليسا في المنزل مع الرجل"),
     ("fa", "سگ و گربه با مرد در خانه نیستند چون پژوهش گچ"),
     ("ur", "کتا اور بلی گھر میں آدمی کے ساتھ نہیں ہیں ٹھیک"),
     ("hi", "कुत्ता और बिल्ली घर में आदमी के साथ नहीं हैं"),
+    ("mr", "कुत्रा आणि मांजर घरात माणसासोबत नाहीत पण ते तेथे आहेत आणि मध्ये आहे"),
+    ("ne", "कुकुर र बिरालो घरमा मानिससँग छैनन् तर तिनीहरू त्यहाँ छन् र भएको हो"),
     ("bn", "কুকুর এবং বিড়াল ঘরে মানুষের সাথে নেই"),
     ("ta", "நாயும் பூனையும் வீட்டில் மனிதனுடன் இல்லை"),
     ("te", "కుక్క మరియు పిల్లి ఇంట్లో మనిషితో లేవు"),
@@ -461,7 +475,8 @@ LANG_PHRASES = [
 
 
 def q_lang_detect_wide(spark, sf_dir):
-    """U6 wide surface: detect over all 60 supported languages. Text is
+    """U6 wide surface: detect over all 64 supported languages (incl. the
+    zh-cn/zh-tw and hi/mr/ne sub-tier splits). Text is
     synthesized per doc_id from LANG_PHRASES (doc_id % len) with a doc_id
     suffix so the latin tier still sees realistic token mixes; the oracle
     recomputes detection independently in DuckDB from the same literals."""

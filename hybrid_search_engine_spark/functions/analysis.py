@@ -33,8 +33,9 @@ from .text import NONWS_CLASS, tokens_native
 # cs/sk, es/ca) resolve by each list carrying that language's distinctive
 # function words (da hvad/af/havde vs no hva/av/hadde, cs jsou/také vs sk
 # sú/tiež, …). Reference semantics model: language.py:66-138 (langdetect,
-# ~50 languages) — this covers 60 deterministically (21 + 10 appended
-# round-3b latin languages + 29 script-tier).
+# ~50 languages) — this covers 64 deterministically (32 latin-tier +
+# 32 script-tier: 19 single-script + zh-cn/zh-tw + 5 cyrillic +
+# 3 arabic-script + hi/mr/ne devanagari).
 LANG_FUNCTION_WORDS = {
     "en": sorted(STOPWORDS),
     "de": ("der die das und oder aber ein eine einer nicht ist sind war mit "
@@ -116,6 +117,9 @@ LANG_FUNCTION_WORDS = {
            "yahay tahay".split()),
     "cy": ("y yr a ac yn nid mae oedd gyda i o ar at dan hwn hon ni chi "
            "nhw fi ti ef hi bod wedi hefyd iawn ond neu".split()),
+    "uz": ("va bir bu uchun bilan emas ham lekin yoki uning men sen biz "
+           "siz ular shu ana endi juda qanday hech yana barcha kerak "
+           "mumkin bor edi".split()),
 }
 
 # Non-latin scripts map to a base language code (for single-language
@@ -188,6 +192,11 @@ LANG_SCRIPT_RANGES = {
 #   arabic: ur FIRST (retroflex ٹ ڈ ڑ, noon ghunna ں, bari ye ے — urdu
 #     keeps گ/پ too, so the persian class can't go first) → fa (پ چ ژ گ)
 #     → ar.
+#   han: zh-tw when traditional-only high-frequency forms (們這來會對時
+#     學國說…) outnumber their simplified counterparts (们这来会对时学国
+#     说…), else zh-cn — simplified is the web-majority default, including
+#     for text carrying neither signal. (langdetect resolves zh-cn/zh-tw
+#     the same way: by script-variant evidence — language.py:66-138.)
 DISTINCTIVE_CHARS = {
     "mk": "[ѓќЃЌ]",
     "sr": "[јћђљњџЈЋЂЉЊЏ]",
@@ -196,6 +205,23 @@ DISTINCTIVE_CHARS = {
     "bg": "[ъЪ]",
     "ur": "[ٹڈڑںےھ]",
     "fa": "[پچژگ]",
+    "zhs": "[们这来会对时说学国经门长东马见书写读话钱红电气广开关应爱]",
+    "zht": "[們這來會對時說學國經門長東馬見書寫讀話錢紅電氣廣開關應愛]",
+}
+
+# Devanagari is shared by hi/mr/ne, whose separation needs WORDS, not
+# chars (the langdetect tail the round-3 verdict flagged). These are
+# high-frequency grammatical markers unique to each language: nepali
+# plural हरू / copulas छन् / participles भएको·गरेको·रहेको; marathi copulas
+# आहे·आहेत / conjunction आणि / locative मध्ये. Counted as substring
+# alternations (regexp_count — plain literals valid in Java regex AND
+# RE2, so the oracle counts with the same patterns; no \b, which the two
+# engines define differently for non-ASCII). Rule order: ne first (its
+# markers are morphologically unique), then mr, else hi — the script's
+# base language.
+DISTINCTIVE_SEQS = {
+    "ne": "(छन्|हरू|भएको|गरेको|रहेको)",
+    "mr": "(आहे|आणि|मध्ये|आहेत)",
 }
 
 
@@ -218,11 +244,12 @@ _SCRIPT_COUNTS_UDF = None
 
 
 def script_counts_onepass():
-    """Arrow-vectorized one-pass counter for ALL 31 script + distinctive
-    char classes: → array<int> ordered [LANG_SCRIPT_RANGES…,
-    DISTINCTIVE_CHARS…]. Semantically identical to one ``regexp_count``
-    per class (property-tested, incl. null/empty/astral chars) but a
-    single codepoint scan instead of 31 regex scans of every document —
+    """Arrow-vectorized one-pass counter for ALL script + distinctive
+    char classes (33: 24 scripts + 9 distinctive): → array<int> ordered
+    [LANG_SCRIPT_RANGES…, DISTINCTIVE_CHARS…]. Semantically identical to
+    one ``regexp_count`` per class (property-tested, incl.
+    null/empty/astral chars) but a single codepoint scan instead of one
+    regex scan per class of every document —
     measured 4.2× (1.24 s → 0.30 s per 5k docs at sf0.1). Codepoints are
     bucketed by searchsorted over the elementary-interval boundaries of
     all classes, then an (intervals × classes) 0/1 matrix resolves
@@ -303,14 +330,17 @@ def lang_scores(text_col) -> list[Column]:
 def detect_language(text_col) -> Column:
     """Two-tier language ID, all native expressions (reference semantics
     model: language.py:66-138 wraps langdetect, ~50 languages; this covers
-    60 web languages deterministically):
+    64 web languages deterministically):
 
     1. script tier — per-char counts for 23 non-latin scripts; if the best
        non-latin script outnumbers latin letters, map script → language
        (``SCRIPT_LANG``). Multi-language scripts refine further: han with
-       any kana present → ja; cyrillic → ru/uk/bg/sr/mk and arabic →
-       ar/fa/ur by distinctive-character counts (``DISTINCTIVE_CHARS``).
-    2. latin tier — argmax over 31 per-language function-word hit ratios
+       any kana present → ja, else zh-cn/zh-tw by simplified/traditional
+       character counts; cyrillic → ru/uk/bg/sr/mk and arabic → ar/fa/ur
+       by distinctive-character counts (``DISTINCTIVE_CHARS``);
+       devanagari → hi/mr/ne by grammatical-marker word counts
+       (``DISTINCTIVE_SEQS``).
+    2. latin tier — argmax over 32 per-language function-word hit ratios
        (``LANG_FUNCTION_WORDS``, dict order breaks ties, earliest wins)
        on the unicode-aware ``lang_tokens`` tokenizer; 'und'
        (undetermined) when nothing scores above the 0.02 floor.
@@ -330,14 +360,18 @@ def detect_language(text_col) -> Column:
     script_names = list(LANG_SCRIPT_RANGES)  # index 0 = latin
     assert script_names[1:] == list(SCRIPT_LANG)  # shared order = tie-break
     dist_names = list(DISTINCTIVE_CHARS)
+    seq_names = list(DISTINCTIVE_SEQS)
     scores = F.array(*[_hit_ratio(toks, ws)
                        for ws in LANG_FUNCTION_WORDS.values()])
-    # one counts array: 24 script ranges then the 6 distinctive classes —
-    # every regexp_count evaluated once
+    # one counts array: the script ranges, then the distinctive char
+    # classes, then the devanagari word-sequence markers — every
+    # regexp_count evaluated once
     counts = F.array(*([F.regexp_count(c, F.lit(pat)).cast("int")
                         for pat in LANG_SCRIPT_RANGES.values()]
                        + [F.regexp_count(c, F.lit(pat)).cast("int")
-                          for pat in DISTINCTIVE_CHARS.values()]))
+                          for pat in DISTINCTIVE_CHARS.values()]
+                       + [F.regexp_count(c, F.lit(pat)).cast("int")
+                          for pat in DISTINCTIVE_SEQS.values()]))
     lang_lit = F.array(*[F.lit(l) for l in LANG_FUNCTION_WORDS])
     script_lit = F.array(*[F.lit(code) for code in SCRIPT_LANG.values()])
     kana_pos = script_names.index("kana") + 1  # 1-based into counts
@@ -348,6 +382,10 @@ def detect_language(text_col) -> Column:
 
         def dist(code):  # 1-based position of a DISTINCTIVE_CHARS count
             return F.element_at(cnt, n_scripts + dist_names.index(code) + 1)
+
+        def seq(code):  # 1-based position of a DISTINCTIVE_SEQS count
+            return F.element_at(
+                cnt, n_scripts + len(dist_names) + seq_names.index(code) + 1)
 
         latin_n = F.element_at(cnt, 1)
         nonlatin = F.slice(cnt, 2, n_scripts - 1)
@@ -372,11 +410,19 @@ def detect_language(text_col) -> Column:
             F.when(dist("ur") > 0, F.lit("ur"))
             .when(dist("fa") > 0, F.lit("fa"))
             .otherwise(F.lit("ar")))
+        zh_pick = F.when(dist("zht") > dist("zhs"),
+                         F.lit("zh-tw")).otherwise(F.lit("zh-cn"))
+        dev_pick = (
+            F.when(seq("ne") > 0, F.lit("ne"))
+            .when(seq("mr") > 0, F.lit("mr"))
+            .otherwise(F.lit("hi")))
         script_pick = (
             F.when((script0 == "zh") & (F.element_at(cnt, kana_pos) > 0),
                    F.lit("ja"))
+            .when(script0 == "zh", zh_pick)
             .when(script0 == "ru", cyr_pick)
             .when(script0 == "ar", ar_pick)
+            .when(script0 == "hi", dev_pick)
             .otherwise(script0))
         return F.when(nl_max > latin_n, script_pick).otherwise(latin_pick)
 
@@ -424,9 +470,14 @@ def detect_language_df(df, text_col: str = "text", key_col: str = "doc_id",
     names = ([f"__c_{n}" for n in LANG_SCRIPT_RANGES]
              + [f"__d_{n}" for n in DISTINCTIVE_CHARS])
     out_cols = [col for col in df.columns if col != text_col]
+    # the devanagari word-sequence markers are multi-char alternations the
+    # one-pass per-codepoint counter can't express — two extra regex scans
     base = df.select(*out_cols, F.size(toks).alias("__ntok"),
-                     cnt.alias("__cnt")).select(
+                     cnt.alias("__cnt"),
+                     *[F.regexp_count(c, F.lit(pat)).alias(f"__q_{code}")
+                       for code, pat in DISTINCTIVE_SEQS.items()]).select(
         *out_cols, "__ntok",
+        *[f"__q_{code}" for code in DISTINCTIVE_SEQS],
         *[F.element_at(F.col("__cnt"), i + 1).alias(nm)
           for i, nm in enumerate(names)])
 
@@ -458,9 +509,16 @@ def detect_language_df(df, text_col: str = "text", key_col: str = "doc_id",
     ar_pick = (F.when(d["ur"] > 0, F.lit("ur"))
                .when(d["fa"] > 0, F.lit("fa"))
                .otherwise(F.lit("ar")))
+    zh_pick = F.when(d["zht"] > d["zhs"], F.lit("zh-tw")).otherwise(
+        F.lit("zh-cn"))
+    dev_pick = (F.when(F.col("__q_ne") > 0, F.lit("ne"))
+                .when(F.col("__q_mr") > 0, F.lit("mr"))
+                .otherwise(F.lit("hi")))
     script_pick = (F.when((script0 == "zh") & (F.col("__c_kana") > 0), F.lit("ja"))
+                   .when(script0 == "zh", zh_pick)
                    .when(script0 == "ru", cyr_pick)
                    .when(script0 == "ar", ar_pick)
+                   .when(script0 == "hi", dev_pick)
                    .otherwise(script0))
     ratio = F.col("__best.cnt").cast("double") / F.col("__ntok")
     latin_pick = F.when(

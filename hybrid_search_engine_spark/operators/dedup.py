@@ -734,8 +734,8 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                          b_col: str = "doc_b",
                          max_rounds: int = 50,
                          local_threshold: int = 500_000,
-                         reliable_checkpoint_dir: str | None = None
-                         ) -> DataFrame:
+                         reliable_checkpoint_dir: str | None = None,
+                         round_stats: list | None = None) -> DataFrame:
     """→ (node, component): component = min node id reachable in the
     undirected near-dup pair graph — the exact transitive closure that
     ``apply_dedup_action``'s one-hop canonical map approximates.
@@ -806,10 +806,13 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     if n == 0:
         return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
 
+    import time as _time
+
     prev_sig = None
-    for _ in range(max_rounds):
+    for _round in range(max_rounds):
         if local_threshold and n <= local_threshold:
             return _cc_local(e)
+        _t0 = _time.time()
         # large-star: for every node u with m = min(N(u) ∪ {u}), connect
         # each strictly-larger neighbor to m. Output edges are (bigger,
         # smaller) by construction: v > u >= m.
@@ -838,6 +841,9 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         ).first()
         sig = (row["n"], row["h"])
         e_prev, e, n = e, e2, row["n"]
+        if round_stats is not None:  # bench instrumentation, no overhead
+            round_stats.append({"round": _round, "n_edges": int(n),
+                                "wall_s": round(_time.time() - _t0, 3)})
         if sig == prev_sig:
             # signature match is a screen, not the proof: confirm set
             # equality (counts already equal; empty one-sided difference

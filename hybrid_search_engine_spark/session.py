@@ -62,9 +62,16 @@ def get_spark(
     )
     if jvm_opts:
         b = b.config("spark.driver.extraJavaOptions", jvm_opts)
-        if master and master.startswith("local-cluster"):
-            # compute happens in the executor JVMs there, not the driver
-            b = b.config("spark.executor.extraJavaOptions", jvm_opts)
+    if master and master.startswith("local-cluster"):
+        # Executor JVMs get G1, NOT the driver's ParallelGC: ParallelGC
+        # exists to stop GCLocker thrash in the one-big-heap local[32]
+        # driver; a 4-core executor JVM never hits that, and G1's
+        # concurrent cycles cut measured K=4 build GC from 486 s to 31 s
+        # on byte-identical work (bench_multijvm A/B, round 4) — GC was
+        # the dominant per-doc inflation at 4× executors.
+        exec_opts = os.environ.get("HSE_EXEC_JVM_OPTS", "-XX:+UseG1GC")
+        if exec_opts:
+            b = b.config("spark.executor.extraJavaOptions", exec_opts)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

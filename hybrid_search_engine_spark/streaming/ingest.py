@@ -6,7 +6,11 @@ Maps the reference's two quasi-streaming components (SURVEY.md §2.9):
   file-source `readStream` over the pages directory, `foreachBatch` running
   the SAME batch incremental index build per micro-batch (the batch/stream
   unification Spark gives for free); debounce → trigger(processingTime) or
-  availableNow for drain-and-stop runs.
+  availableNow for drain-and-stop runs. The watcher's DELETE branch
+  (watcher.py:76-154) maps to `tombstone_deleted_docs` — file streams are
+  append-only, so deletions are detected by listing and take effect at
+  `compact_segments` (deletes become query-invisible after the next
+  compaction; between compactions callers can mask via `read_tombstones`).
 - ST2 async job queue with retries/progress (jobs.py:111-392): Spark task
   retries + checkpointLocation replace the hand-rolled queue; progress =
   StreamingQueryListener/lastProgress; the per-shard manifest (build/
@@ -246,6 +250,57 @@ def compact_dedup_state(spark: SparkSession, index_root: str) -> None:
         shutil.rmtree(old)
 
 
+def tombstone_deleted_docs(spark: SparkSession, src_dir: str,
+                           index_root: str) -> int:
+    """The reference watcher's DELETE branch (watcher.py:76-154 handles
+    created/modified/**deleted** events) for the incremental path. Spark's
+    file-stream source is append-only — a page file removed from the
+    source directory leaves its docs in the index forever — so deletions
+    are detected by LISTING: the doc ids derivable from the CURRENT source
+    directory (``xxhash64(url)``, the same deterministic id the ingest
+    assigns) are anti-joined against the ids present in the segments'
+    doc_stats; indexed-but-no-longer-live ids are appended as tombstones
+    under ``index_root/tombstones/``.
+
+    Tombstones take effect at ``compact_segments`` time, which drops the
+    tombstoned docs from the rebuilt postings/stats — the documented
+    contract is **deletes become query-invisible after the next
+    compaction** (between compactions a tombstoned doc can still match;
+    callers that need read-time masking anti-join search results against
+    ``read_tombstones``). Idempotent: re-running appends duplicate rows,
+    which every consumer drops via dropDuplicates.
+
+    Returns the number of newly tombstoned doc ids. Scales: the listing
+    scan reads only the ``url`` column (column pruning); the anti-join is
+    id-grain."""
+    segs = list_segments(index_root)
+    if not segs:
+        return 0
+    live = (spark.read.schema(PAGES_SCHEMA).parquet(src_dir)
+            .select(F.xxhash64("url").alias("doc_id")).distinct())
+    indexed = spark.read.parquet(
+        *[os.path.join(s, "stats", "doc_stats") for s in segs]
+    ).select("doc_id").distinct()
+    gone = indexed.join(live, "doc_id", "left_anti")
+    ts_dir = os.path.join(index_root, "tombstones")
+    existing = read_tombstones(spark, index_root)
+    if existing is not None:
+        gone = gone.join(existing, "doc_id", "left_anti")
+    new_rows = gone.count()
+    if new_rows:
+        gone.write.mode("append").parquet(ts_dir)
+    return new_rows
+
+
+def read_tombstones(spark: SparkSession, index_root: str):
+    """→ distinct (doc_id) DataFrame of tombstoned docs, or None if no
+    tombstones exist."""
+    ts_dir = os.path.join(index_root, "tombstones")
+    if not os.path.isdir(ts_dir):
+        return None
+    return spark.read.parquet(ts_dir).select("doc_id").distinct()
+
+
 def list_segments(index_root: str) -> list[str]:
     seg_root = os.path.join(index_root, "segments")
     if not os.path.isdir(seg_root):
@@ -303,6 +358,26 @@ def compact_segments(spark: SparkSession, index_root: str, out_dir: str,
                 yield pd.concat(outs, ignore_index=True)
 
     tf_full = blocks.mapInPandas(decode_fn, schema=tf_schema)
+    # tombstones (deleted source docs — see tombstone_deleted_docs) are
+    # applied HERE: compaction is the point where deletes become
+    # query-invisible. Anti-join at tf grain before stats/postings are
+    # recomputed, so df/idf/avgdl all reflect the post-delete corpus.
+    tombs = read_tombstones(spark, index_root)
+    n_tombstoned = 0
+    if tombs is not None:
+        seg_docs = spark.read.parquet(
+            *[os.path.join(s, "stats", "doc_stats") for s in segs])
+        # count + doc_len mass of tombstoned docs, to correct the corpus
+        # scalars read from the segments' corpus.json below. (A tombstoned
+        # doc that had zero post-stopword tokens never reached doc_stats
+        # and stays in the doc_count denominator — a bounded avgdl nuance,
+        # not a postings error.)
+        hit = (seg_docs.join(tombs, "doc_id")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum("doc_len"), F.lit(0)).alias("len"))
+               .first())
+        n_tombstoned, tombstoned_len = int(hit["n"]), float(hit["len"])
+        tf_full = tf_full.join(tombs, "doc_id", "left_anti")
     # exact dedup across segments is unnecessary: a doc lives in exactly one
     # segment (deterministic ids, append-only batches); doc_len rides along,
     # so the posting rebuild takes the fused no-join path (dstats=None)
@@ -318,6 +393,9 @@ def compact_segments(spark: SparkSession, index_root: str, out_dir: str,
             c = json.load(f)
         n_docs += c["doc_count"]
         total_len += c["avg_doc_len"] * c["doc_count"]
+    if n_tombstoned:
+        n_docs -= n_tombstoned
+        total_len -= tombstoned_len
     avgdl = total_len / n_docs if n_docs else 0.0
 
     tstats = term_stats(tf, n_docs)
@@ -334,7 +412,8 @@ def compact_segments(spark: SparkSession, index_root: str, out_dir: str,
     with open(os.path.join(out_dir, "stats", "corpus.json"), "w") as f:
         json.dump({"doc_count": n_docs, "avg_doc_len": avgdl, "k1": k1,
                    "b": b, "n_shards": n_shards, "block_size": block_size,
-                   "source_fingerprint": {"segments": len(segs)}}, f)
+                   "source_fingerprint": {"segments": len(segs),
+                                          "tombstoned": n_tombstoned}}, f)
     return out_dir
 
 

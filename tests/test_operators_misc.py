@@ -177,10 +177,11 @@ def test_detect_language(spark):
 
 
 def test_detect_language_wide(spark):
-    """U6 wide tier: latin function-word argmax (31 langs) + script tier
-    (23 non-latin scripts; han+kana → ja, cyrillic → mk/sr/uk/ru/bg and
-    arabic → ar/fa/ur by distinctive-char sub-tiers) — 60 languages,
-    exceeding langdetect's 55 (reference language.py:66-138)."""
+    """U6 wide tier: latin function-word argmax (32 langs) + script tier
+    (23 non-latin scripts; han+kana → ja else zh-cn/zh-tw, cyrillic →
+    mk/sr/uk/ru/bg, arabic → ar/fa/ur, devanagari → hi/mr/ne sub-tiers) —
+    64 languages, exceeding langdetect's 55 (reference
+    language.py:66-138)."""
     from hybrid_search_engine_spark.contract_ext import LANG_PHRASES
     from hybrid_search_engine_spark.functions.analysis import detect_language
 
@@ -192,13 +193,46 @@ def test_detect_language_wide(spark):
     assert all(r["lang"] == r["expected"] for r in rows), [
         (r["id"], r["expected"], r["lang"]) for r in rows
         if r["lang"] != r["expected"]]
-    # pure-han chinese vs han+kana japanese disambiguation
+    # pure-han chinese vs han+kana japanese disambiguation; han without
+    # any simplified/traditional signal defaults to zh-cn
     mixed = spark.createDataFrame(
         [(0, "日本語のテキストです"), (1, "中文文本没有假名")],
         "id int, text string")
     got = {r["id"]: r["l"] for r in
            mixed.select("id", detect_language("text").alias("l")).collect()}
-    assert got == {0: "ja", 1: "zh"}
+    assert got == {0: "ja", 1: "zh-cn"}
+
+
+def test_detect_language_subtier_tails(spark):
+    """Round-3 verdict item 6: the langdetect tail — zh-cn/zh-tw split by
+    simplified/traditional characters, hi/mr/ne split by within-devanagari
+    grammatical markers."""
+    from hybrid_search_engine_spark.functions.analysis import (
+        detect_language,
+        detect_language_df,
+    )
+
+    rows = [
+        (0, "这个学说对时间来说很长", "zh-cn"),     # simplified markers
+        (1, "這個學說對時間來說很長", "zh-tw"),     # traditional markers
+        (2, "书里写着它们这些东西", "zh-cn"),
+        (3, "書裡寫著它們這些東西", "zh-tw"),
+        (4, "中文文本没有假名", "zh-cn"),           # no signal → default
+        (5, "कुत्ता और बिल्ली घर में आदमी के साथ नहीं हैं", "hi"),
+        (6, "कुत्रा आणि मांजर घरात नाहीत पण ते आहेत", "mr"),
+        (7, "कुकुर र बिरालो घरमा छैनन् तर तिनीहरू छन्", "ne"),
+        (8, "यो किताब राम्रो भएको छ र धेरै मानिसहरू यहाँ छन्", "ne"),
+        (9, "हे पुस्तक चांगले आहे आणि बरेच लोक येथे आहेत", "mr"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows],
+                               "doc_id int, text string")
+    want = {i: lang for i, _, lang in rows}
+    col_form = {r["doc_id"]: r["l"] for r in
+                df.select("doc_id", detect_language("text").alias("l")).collect()}
+    assert col_form == want
+    df_form = {r["doc_id"]: r["lang_detected"]
+               for r in detect_language_df(df).collect()}
+    assert df_form == want
 
 
 def test_quality_columns(spark):

@@ -247,3 +247,91 @@ def test_recover_dedup_state_mid_swap_crash(spark, tmp_path_factory):
     # compaction itself runs recovery first and still works end-to-end
     compact_dedup_state(spark, root)
     assert spark.read.parquet(live).count() == 1
+
+
+def test_tombstoned_deletes_invisible_after_compaction(spark, tmp_path_factory):
+    """Reference watcher parity (watcher.py:76-154 handles deletes): a
+    source file removed between batches must stop matching queries after
+    compaction. Also the compaction block-max invariant: with ≥3 segments
+    sharing overlapping terms, the PRUNED search over the compacted index
+    equals the EXACT search equals a from-scratch oracle on the surviving
+    corpus — i.e. block-max metadata was rebuilt, not carried stale."""
+    from fixtures.gen_corpus import generate_pages
+    from hybrid_search_engine_spark.build.manifest import IndexReader
+    from hybrid_search_engine_spark.streaming.ingest import (
+        compact_segments,
+        incremental_index_query,
+        list_segments,
+        read_tombstones,
+        tombstone_deleted_docs,
+    )
+
+    base = tmp_path_factory.mktemp("stream_del")
+    src = base / "incoming"
+    src.mkdir()
+    rows = list(generate_pages(300))
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write_batch(path, batch_rows):
+        pq.write_table(pa.table({
+            "url": pa.array([r["url"] for r in batch_rows], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in batch_rows],
+                                pa.timestamp("us", tz="UTC")),
+            "html": pa.array([r["html"] for r in batch_rows], pa.binary()),
+            "text": pa.array([r["text"] for r in batch_rows], pa.string()),
+            "lang": pa.array([r["lang"] for r in batch_rows], pa.string()),
+        }), path)
+
+    # three batches with overlapping vocabulary (generate_pages reuses a
+    # small template vocabulary, so terms overlap across all three)
+    write_batch(str(src / "b0.parquet"), rows[:100])
+    write_batch(str(src / "b1.parquet"), rows[100:200])
+    write_batch(str(src / "b2.parquet"), rows[200:])
+
+    index_root = str(base / "idx")
+    ckpt = str(base / "ckpt")
+    q = incremental_index_query(spark, str(src), index_root, ckpt,
+                                n_shards=4, available_now=True)
+    q.awaitTermination()
+    assert len(list_segments(index_root)) >= 1
+
+    # delete one source file between batches; its 100 docs must vanish
+    os.remove(str(src / "b1.parquet"))
+    n_new = tombstone_deleted_docs(spark, str(src), index_root)
+    assert n_new == 100
+    # idempotent: re-running adds nothing
+    assert tombstone_deleted_docs(spark, str(src), index_root) == 0
+    tombs = {r["doc_id"] for r in read_tombstones(spark, index_root).collect()}
+    assert len(tombs) == 100
+
+    out = str(base / "compacted")
+    compact_segments(spark, index_root, out, n_shards=4)
+
+    # surviving-corpus oracle fit from scratch (no deleted docs)
+    from hybrid_search_engine_spark.reference_semantics import extract_text
+
+    survivors = rows[:100] + rows[200:]
+    url_text = {r["url"]: extract_text(r["html"], r["text"]) for r in survivors}
+    iddf = spark.createDataFrame([(u,) for u in url_text], "url string")
+    idmap = {r["url"]: r["doc_id"] for r in
+             iddf.select("url", F.xxhash64("url").alias("doc_id")).collect()}
+    oracle = BM25Oracle().fit({idmap[u]: t for u, t in url_text.items()})
+
+    reader = IndexReader(spark, out)
+    # doc_stats must not contain any tombstoned doc
+    remaining = {r["doc_id"] for r in spark.read.parquet(
+        os.path.join(out, "stats", "doc_stats")).select("doc_id").collect()}
+    assert not (remaining & tombs)
+
+    for query in ["machine learning and AI", "the quick brown fox",
+                  "spark query window fast"]:
+        pruned = reader.search(query, k=10, mode="pruned").collect()
+        exact = reader.search(query, k=10, mode="exact").collect()
+        assert [r["doc_id"] for r in pruned] == [r["doc_id"] for r in exact]
+        assert not ({r["doc_id"] for r in pruned} & tombs), query
+        want = oracle.topk_nonzero(query, k=10)
+        assert [r["doc_id"] for r in pruned] == [d for d, _ in want], query
+        for r, (_, s) in zip(pruned, want):
+            assert abs(r["score"] - s) <= 1e-6 * max(1.0, abs(s))
