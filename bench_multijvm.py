@@ -174,8 +174,13 @@ def child_cluster(k: int, cores_per_exec: int, pages_path: str, out_json: str) -
     # 125 GB host.
     scratch = os.environ.get("HSE_MJ_SCRATCH")
     if scratch:
-        extra["spark.local.dir"] = tempfile.mkdtemp(
-            prefix=f"mjlocal{k}_", dir=scratch)
+        local_dir = tempfile.mkdtemp(prefix=f"mjlocal{k}_", dir=scratch)
+        extra["spark.local.dir"] = local_dir
+        # local-cluster = standalone-in-a-box: the in-process Worker
+        # OVERRIDES spark.local.dir with SPARK_LOCAL_DIRS (SparkConf warns
+        # so), so executor shuffle files only land on the scratch via the
+        # env var — set both.
+        os.environ["SPARK_LOCAL_DIRS"] = local_dir
     spark = get_spark(
         app=f"mjcluster{k}x{cores_per_exec}",
         cores=total,  # sizes shuffle width identically to local[total]
@@ -235,6 +240,7 @@ def child_cluster(k: int, cores_per_exec: int, pages_path: str, out_json: str) -
     shutil.rmtree(os.path.dirname(idx_dir), ignore_errors=True)
     if scratch and "spark.local.dir" in extra:
         shutil.rmtree(extra["spark.local.dir"], ignore_errors=True)
+        os.environ.pop("SPARK_LOCAL_DIRS", None)
     if eventlog_dir:
         shutil.rmtree(eventlog_dir, ignore_errors=True)
 
