@@ -342,6 +342,9 @@ class IndexReader:
                            spark.sparkContext.defaultParallelism))
             self.postings = self.postings.repartition(p, "shard_id").cache()
             self.postings.count()
+        # hash-partitioned cache ⇒ whole shards per partition ⇒ the scorer
+        # can run as mapInPandas instead of groupBy().applyInPandas
+        self._shard_clustered = bool(cache_postings)
         self._tstats_arg = self.term_stats
         if cache_term_stats:
             self._tstats_arg = {
@@ -371,6 +374,7 @@ class IndexReader:
             self.spark, self.postings, self._tstats_arg,
             self.corpus["avg_doc_len"], query, k=k,
             k1=self.corpus["k1"], b=self.corpus["b"], mode=mode,
+            shard_clustered=self._shard_clustered,
         )
 
     def _search_exact_cached(self, query: str, k: int):
@@ -405,4 +409,5 @@ class IndexReader:
             self.spark, self.postings, self._tstats_arg,
             self.corpus["avg_doc_len"], queries, k=k,
             k1=self.corpus["k1"], b=self.corpus["b"], mode=mode,
+            shard_clustered=self._shard_clustered,
         )

@@ -71,11 +71,15 @@ def deterministic_sample(df: DataFrame, fraction: float,
     ``DataFrame.sample`` this is reproducible independent of partitioning
     and retriggers, and two samples at fractions f1 < f2 are NESTED
     (the f1 sample is a subset of the f2 sample) — the property needed
-    for scaling-law data ladders."""
+    for scaling-law data ladders.
+
+    Quantization: the threshold is ``fraction`` rounded down to a multiple
+    of 2**-32, capped one code below 1.0 — so any fraction < 1.0 excludes
+    at least the keys hashing exactly to ``ffffffff`` (a deliberate strict
+    subset; ``fraction >= 1.0`` is the identity)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    th = f"{min(int(fraction * 2**32), 2**32 - 1):08x}"
-    keep = _hash8(key_col, seed) < F.lit(th)
     if fraction >= 1.0:
         return df
-    return df.where(keep)
+    th = f"{min(int(fraction * 2**32), 2**32 - 1):08x}"
+    return df.where(_hash8(key_col, seed) < F.lit(th))

@@ -215,6 +215,34 @@ def _make_shard_scorer(queries_info, avgdl: float, k1: float, b: float,
 BATCH_BROADCAST_MIN = 64
 
 
+def _shard_scores(pruned: DataFrame, scorer, shard_clustered: bool
+                  ) -> DataFrame:
+    """Run the per-shard scorer over the matched postings.
+
+    ``shard_clustered=False`` (raw parquet read): ``groupBy(shard_id)``
+    inserts whatever exchange is needed to co-locate each shard.
+    ``shard_clustered=True`` (postings already hash-partitioned by
+    shard_id, e.g. IndexReader's cache): every partition holds whole
+    shards, so a plain ``mapInPandas`` with an in-worker groupby is
+    semantically identical while skipping the distribution-requirement
+    analysis — measured ~30 ms off the single-query floor at 1M docs."""
+    if not shard_clustered:
+        return pruned.groupBy("shard_id").applyInPandas(
+            scorer, schema=_OUT_SCHEMA)
+
+    def per_partition(batches):
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        for _, grp in pdf.groupby("shard_id", sort=False):
+            out = scorer(grp)
+            if len(out):
+                yield out
+
+    return pruned.mapInPandas(per_partition, schema=_OUT_SCHEMA)
+
+
 def _queries_info(queries: list[tuple], term_idf: dict,
                   remove_stopwords: bool) -> dict:
     out = {}
@@ -241,8 +269,8 @@ def resolve_term_idf(tstats, terms: list[str]) -> dict:
 def search_index_batch(spark: SparkSession, postings: DataFrame, tstats,
                        avgdl: float, queries: list[tuple], k: int = 10,
                        k1: float = 1.5, b: float = 0.75,
-                       remove_stopwords: bool = True, mode: str = "pruned"
-                       ) -> DataFrame:
+                       remove_stopwords: bool = True, mode: str = "pruned",
+                       shard_clustered: bool = False) -> DataFrame:
     """[(query_id, text)] → (query_id, rank, doc_id, score): ONE plan for all
     queries; per-shard decode caches are shared across queries."""
     all_terms = sorted({
@@ -265,7 +293,7 @@ def search_index_batch(spark: SparkSession, postings: DataFrame, tstats,
         # via torrent broadcast, not once per shard task in the closure
         qsinfo = spark.sparkContext.broadcast(qsinfo)
     scorer = _make_shard_scorer(qsinfo, avgdl, k1, b, k, mode == "pruned")
-    local = pruned.groupBy("shard_id").applyInPandas(scorer, schema=_OUT_SCHEMA)
+    local = _shard_scores(pruned, scorer, shard_clustered)
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("score"), 9).desc(), F.col("doc_id").asc())
     return (
@@ -278,8 +306,8 @@ def search_index_batch(spark: SparkSession, postings: DataFrame, tstats,
 def search_index(spark: SparkSession, postings: DataFrame, tstats,
                  avgdl: float, query: str, k: int = 10,
                  k1: float = 1.5, b: float = 0.75,
-                 remove_stopwords: bool = True, mode: str = "pruned"
-                 ) -> DataFrame:
+                 remove_stopwords: bool = True, mode: str = "pruned",
+                 shard_clustered: bool = False) -> DataFrame:
     """Single-query top-k (latency path): global TakeOrderedAndProject merge."""
     terms = sorted(set(tokenize(query, remove_stopwords=remove_stopwords)))
     term_idf = resolve_term_idf(tstats, terms) if terms else {}
@@ -292,7 +320,7 @@ def search_index(spark: SparkSession, postings: DataFrame, tstats,
     ensure_udf_serializable()
     pruned = postings.where(F.col("term").isin(sorted(qsinfo[0])))
     scorer = _make_shard_scorer(qsinfo, avgdl, k1, b, k, mode == "pruned")
-    local = pruned.groupBy("shard_id").applyInPandas(scorer, schema=_OUT_SCHEMA)
+    local = _shard_scores(pruned, scorer, shard_clustered)
     return (
         local.orderBy(F.round(F.col("score"), 9).desc(), F.col("doc_id").asc())
         .limit(k)

@@ -62,6 +62,24 @@ def get_spark(
     )
     if jvm_opts:
         b = b.config("spark.driver.extraJavaOptions", jvm_opts)
+    # PySpark 4 forks FRESH python workers for every Arrow-UDF job (no
+    # cross-job reuse even with spark.python.worker.reuse=true — measured),
+    # and each fork pays the pandas+pyarrow import (~250 ms CPU × one per
+    # core, per job). Pre-import them in the daemon so forks inherit the
+    # modules copy-on-write: measured 767 → 460 ms on a 16-task toy job and
+    # ~-200 ms on the single-query p50 floor (bench_query_floor.py). The
+    # daemon module must be importable by the executor-side python at
+    # daemon launch, hence the explicit PYTHONPATH (local/local-cluster
+    # share this filesystem; on a distributed cluster ship the package via
+    # --py-files or disable with HSE_NO_DAEMON_PRELOAD=1).
+    if not os.environ.get("HSE_NO_DAEMON_PRELOAD"):
+        pkg_parent = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))
+        b = (
+            b.config("spark.python.daemon.module",
+                     "hybrid_search_engine_spark.daemon_preload")
+            .config("spark.executorEnv.PYTHONPATH", pkg_parent)
+        )
     if master and master.startswith("local-cluster"):
         # Executor JVMs get G1, NOT the driver's ParallelGC: ParallelGC
         # exists to stop GCLocker thrash in the one-big-heap local[32]

@@ -106,6 +106,41 @@ def test_pruned_equals_exact_mode(spark, index):
                [(r.doc_id, round(r.score, 9)) for r in b], q
 
 
+def test_shard_clustered_path_rank_identical(spark, index):
+    """shard_clustered=True (mapInPandas over a shard-hash-partitioned
+    cache — IndexReader's warm path) must be rank-identical to the
+    groupBy().applyInPandas plan on both the single and batch APIs."""
+    from hybrid_search_engine_spark.operators.wand import (
+        search_index,
+        search_index_batch,
+    )
+
+    stored, tstats, scalars = index
+    clustered = stored.repartition(4, "shard_id").cache()
+    clustered.count()
+    try:
+        queries = ["data machine learning", "the quick brown fox",
+                   "programming", "how to write tests"]
+        for q in queries:
+            a = search_index(spark, stored, tstats, scalars.avg_doc_len, q,
+                             k=15).collect()
+            b = search_index(spark, clustered, tstats, scalars.avg_doc_len,
+                             q, k=15, shard_clustered=True).collect()
+            assert [(r.doc_id, round(r.score, 9)) for r in a] == \
+                   [(r.doc_id, round(r.score, 9)) for r in b], q
+        batch = list(enumerate(queries))
+        a = search_index_batch(spark, stored, tstats, scalars.avg_doc_len,
+                               batch, k=15).collect()
+        b = search_index_batch(spark, clustered, tstats, scalars.avg_doc_len,
+                               batch, k=15, shard_clustered=True).collect()
+        assert sorted([(r.query_id, r.rank, r.doc_id, round(r.score, 9))
+                       for r in a]) == \
+               sorted([(r.query_id, r.rank, r.doc_id, round(r.score, 9))
+                       for r in b])
+    finally:
+        clustered.unpersist()
+
+
 def test_batch_search_matches_oracle(spark, index, oracle):
     """search_index_batch (one plan, shared decode caches) rank-identical to
     the oracle for every query in the batch."""
