@@ -375,6 +375,10 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        # cand feeds BOTH the candidate-doc semi-join below and the
+        # intersection join; without persistence the signature + band
+        # self-join pipeline would execute twice
+        .persist()
     )
 
     # Exact-Jaccard verify in inverted form (same shape as
@@ -385,7 +389,19 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     # interpreted array_intersect/array_union per pair — measured 3.0×
     # slower on a dense corpus (sf0.1, ~140k candidates surviving the
     # bucket cap, 253 verified pairs: 49.8 s → 16.5 s, identical output).
-    ex = _exploded_shingles(docs, text_col, id_col, shingle_k)
+    #
+    # Verify cost must be O(candidates), NOT O(corpus): only docs that
+    # appear in some candidate pair need their shingles. Exploding every
+    # doc made the verify shuffle ~|corpus|·|shingles per doc| rows
+    # (measured: 1M docs × ~1k distinct 3-shingles filled a 250 GB disk
+    # with shuffle spill before failing); the semi-join prunes the explode
+    # to the collided minority, the same shape near_dup_check_incremental
+    # already uses for its corpus side.
+    cand_ids = (cand.select(F.col("doc_a").alias(id_col))
+                .union(cand.select(F.col("doc_b").alias(id_col)))
+                .distinct())
+    docs_c = docs.join(cand_ids, id_col, "left_semi")
+    ex = _exploded_shingles(docs_c, text_col, id_col, shingle_k)
     sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         ex.withColumnRenamed("doc_id", "doc_a").join(cand, "doc_a")
