@@ -65,7 +65,7 @@ def main() -> None:
         build_index(spark, docs, idx, n_shards=32)
 
     t0 = time.time()
-    reader = IndexReader(spark, idx, cache_postings=True)
+    reader = IndexReader(spark, idx, cache_postings=True, cache_tf=True)
     open_s = time.time() - t0
 
     # rarest usable term: 1 block, ~0 python scoring -> job floor
@@ -95,6 +95,15 @@ def main() -> None:
         reader.search(q, k=10).collect()
         hot.append(time.time() - t)
 
+    # JVM-only single-stage serving tier (no python stage at all)
+    for _ in range(3):
+        reader.search("the quick brown fox jumps", k=10, mode="exact").collect()
+    serve = []
+    for q in queries[:40]:
+        t = time.time()
+        reader.search(q, k=10, mode="exact").collect()
+        serve.append(time.time() - t)
+
     rep = {
         "n_docs": n_docs, "cores": cores, "rare_term": rare,
         "reader_open_s": round(open_s, 2),
@@ -103,6 +112,8 @@ def main() -> None:
         "hot_ms_p50": _pct(hot, 0.5), "hot_ms_p95": _pct(hot, 0.95),
         "hot_minus_floor_p50": round(_pct(hot, 0.5) - _pct(floor, 0.5), 1),
         "hot_mean_ms": round(1000 * statistics.mean(hot), 1),
+        "serving_ms_p50": _pct(serve, 0.5),
+        "serving_ms_p95": _pct(serve, 0.95),
     }
     print(json.dumps(rep))
     spark.stop()

@@ -309,15 +309,17 @@ class IndexReader:
     latency fix. Costs one upfront job + executor memory for the cache.
 
     ``cache_tf=True`` additionally caches the build's materialized tf table
-    (doc_id, term, tf, doc_len) range-partitioned and sorted by term, and
-    ``search(mode="exact")`` scores it JVM-only (broadcast query join +
-    doc-grain agg, zero Python): measured decomposition showed the pruned
-    path's per-query floor is the Arrow/python exchange (~600 ms of a
-    ~900 ms p50 at 200k docs), so the latency tier stays in codegen; the
-    term-sorted cache gives in-memory batch min/max pruning on the join
-    key. Memory cost ≈ decoded tf size — right for a latency-serving
-    deployment, wrong for a 10^12-doc batch cluster (leave it off there;
-    the pruned path is the scale tier).
+    (doc_id, term, tf, doc_len) hash-partitioned by doc_id and term-sorted
+    within partitions, and ``search(mode="exact")`` scores it JVM-only with
+    zero joins and zero exchanges (literal term→weight map + exchange-free
+    doc-grain agg — ONE stage plus the driver TakeOrdered merge): measured
+    decomposition showed the pruned path's per-query floor is the
+    Arrow/python stage launch (~230 ms of a ~530 ms p50 at 1M docs), so the
+    latency tier stays entirely in codegen; the term-sorted batches give
+    in-memory batch min/max pruning on the isin filter. Memory cost ≈
+    decoded tf size — right for a latency-serving deployment, wrong for a
+    10^12-doc batch cluster (leave it off there; the pruned path is the
+    scale tier).
     """
 
     def __init__(self, spark: SparkSession, index_dir: str,
@@ -353,10 +355,16 @@ class IndexReader:
             }
         self.tf = None
         if cache_tf:
+            # hash-partitioned by doc_id so the exact tier's
+            # groupBy(doc_id) aggregation needs NO exchange (the cache's
+            # HashPartitioning satisfies the agg's ClusteredDistribution):
+            # a query is ONE stage + the driver TakeOrdered merge. Batches
+            # inside each partition stay term-sorted so the isin(term)
+            # filter still prunes cached batches by min/max stats.
             p = max(spark.sparkContext.defaultParallelism, 8)
             self.tf = (
                 spark.read.parquet(os.path.join(index_dir, "tf"))
-                .repartitionByRange(p, "term")
+                .repartition(p, "doc_id")
                 .sortWithinPartitions("term")
                 .cache()
             )
@@ -380,24 +388,23 @@ class IndexReader:
     def _search_exact_cached(self, query: str, k: int):
         from collections import Counter
 
-        from ..operators.score import score_query_terms_inline, topk_single
+        from ..operators.score import (
+            score_single_query_onestage,
+            topk_single,
+        )
         from ..operators.wand import resolve_term_idf
         from ..reference_semantics import tokenize
 
         toks = Counter(tokenize(query, remove_stopwords=True))
         idf = resolve_term_idf(self._tstats_arg, sorted(toks))
-        rows = [(0, t, float(w), idf[t]) for t, w in toks.items() if t in idf]
-        if not rows:
+        weights = {t: idf[t] * float(w) for t, w in toks.items() if t in idf}
+        if not weights:
             return local_df(self.spark, [], "doc_id long, score double")
-        qdf = local_df(
-            self.spark, rows, "query_id int, term string, qweight double, idf double")
-        # isin literal filter BEFORE the join: the broadcast join alone scans
-        # every cached batch probing the hash table; the literal predicate
-        # lets InMemoryTableScan skip batches by term min/max stats (the
-        # cache is term-sorted for exactly this)
-        tf = self.tf.where(F.col("term").isin([r[1] for r in rows]))
-        scores = score_query_terms_inline(
-            qdf, tf, self.corpus["avg_doc_len"],
+        # no query-side DataFrame and no join at all: term→idf·qweight rides
+        # as a literal map expression; the doc_id-partitioned cache makes the
+        # aggregation exchange-free (see __init__) — one stage end-to-end
+        scores = score_single_query_onestage(
+            self.tf, weights, self.corpus["avg_doc_len"],
             k1=self.corpus["k1"], b=self.corpus["b"])
         return topk_single(scores, k)
 

@@ -108,6 +108,35 @@ def score_query_terms_inline(qterms_weighted: DataFrame, tf_doclen: DataFrame,
     )
 
 
+def score_single_query_onestage(tf_doclen: DataFrame, term_weights: dict,
+                                avg_doc_len: float, k1: float = K1_DEFAULT,
+                                b: float = B_DEFAULT) -> DataFrame:
+    """→ (doc_id, score), zero joins and zero exchanges — the single-stage
+    serving tier. ``term_weights`` maps term → idf·qweight (driver-resolved,
+    query-sized), shipped as a literal MAP expression instead of a broadcast
+    join: the per-row weight lookup is a codegen map probe, so the whole
+    query is filter → project → hash-agg. When ``tf_doclen`` is
+    hash-partitioned by doc_id (``IndexReader(cache_tf=True)`` cache layout)
+    the groupBy's ClusteredDistribution(doc_id) is already satisfied and
+    Catalyst plans NO exchange — one stage, one task wave, followed only by
+    the driver-side TakeOrdered merge. Latency floor = scheduler + scan.
+    """
+    terms = sorted(term_weights)
+    wmap = F.create_map(
+        *[x for t in terms
+          for x in (F.lit(t), F.lit(float(term_weights[t])))])
+    tf = F.col("tf").cast("double")
+    den = tf + k1 * (1.0 - b + b * (F.col("doc_len").cast("double")
+                                    / F.lit(float(avg_doc_len))))
+    contrib = (wmap[F.col("term")] * tf * (k1 + 1.0) / den).alias("contrib")
+    return (
+        tf_doclen.where(F.col("term").isin(terms))
+        .select("doc_id", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+
+
 def topk_single(scores: DataFrame, k: int) -> DataFrame:
     """Global top-k under the tie-break protocol → TakeOrderedAndProject."""
     return (

@@ -608,3 +608,30 @@ def test_exact_cached_tier_rank_identical(spark, extracted_1k, tmp_path):
                   for r in reader.search(q, k=10, mode="pruned").collect()]
         assert exact == pruned, f"tier mismatch for {q!r}"
     reader.tf.unpersist()
+
+
+def test_exact_cached_tier_is_single_stage(spark, extracted_1k, tmp_path):
+    """The serving tier's query plan must contain NO exchange: the tf cache
+    is hash-partitioned by doc_id, so groupBy(doc_id) reuses the cache
+    partitioning and the whole query is one stage plus the driver-side
+    TakeOrdered merge. (The only Exchange allowed is inside the
+    InMemoryRelation's one-time cache-build plan.)"""
+    from hybrid_search_engine_spark.build.manifest import IndexReader, build_index
+    from hybrid_search_engine_spark.sources.pages import pages_to_docs
+
+    docs = pages_to_docs(extracted_1k, extract=False)
+    idx = str(tmp_path / "idx")
+    build_index(spark, docs, idx, n_shards=4, block_size=32)
+    reader = IndexReader(spark, idx, cache_postings=False, cache_tf=True)
+    try:
+        df = reader.search("the quick brown fox jumps over", k=10,
+                           mode="exact")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        query_side = plan.split("InMemoryRelation", 1)[0]
+        assert "InMemoryTableScan" in query_side
+        assert "Exchange" not in query_side, query_side
+        assert "TakeOrderedAndProject" in query_side
+        # and it is the literal-map scorer: no join operator anywhere
+        assert "Join" not in query_side
+    finally:
+        reader.tf.unpersist()
