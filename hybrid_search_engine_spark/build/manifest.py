@@ -361,7 +361,14 @@ class IndexReader:
             # a query is ONE stage + the driver TakeOrdered merge. Batches
             # inside each partition stay term-sorted so the isin(term)
             # filter still prunes cached batches by min/max stats.
-            p = max(spark.sparkContext.defaultParallelism, 8)
+            # Width = 4× cores, NOT cores: HashPartitioning(doc_id)
+            # satisfies the agg's ClusteredDistribution at ANY width, but
+            # the per-partition term sort is the build's dominant cost
+            # (294 s of a 339 s build at 88M rows / 16 partitions —
+            # external-sort spill; BENCH/BASELINE.md round-4 section), and
+            # 4× narrower sorts stay in memory. Query-side the extra tasks
+            # are pruned batch scans, not extra stages.
+            p = max(4 * spark.sparkContext.defaultParallelism, 8)
             self.tf = (
                 spark.read.parquet(os.path.join(index_dir, "tf"))
                 .repartition(p, "doc_id")
