@@ -325,7 +325,8 @@ class IndexReader:
     def __init__(self, spark: SparkSession, index_dir: str,
                  cache_term_stats: bool = True,
                  cache_postings: bool = False,
-                 cache_tf: bool = False):
+                 cache_tf: bool = False,
+                 tf_cache_width_mult: int = 4):
         self.spark = spark
         self.postings = read_postings(spark, os.path.join(index_dir, "postings"))
         self.term_stats = spark.read.parquet(
@@ -361,14 +362,22 @@ class IndexReader:
             # a query is ONE stage + the driver TakeOrdered merge. Batches
             # inside each partition stay term-sorted so the isin(term)
             # filter still prunes cached batches by min/max stats.
-            # Width = 4× cores, NOT cores: HashPartitioning(doc_id)
-            # satisfies the agg's ClusteredDistribution at ANY width, but
-            # the per-partition term sort is the build's dominant cost
-            # (294 s of a 339 s build at 88M rows / 16 partitions —
-            # external-sort spill; BENCH/BASELINE.md round-4 section), and
-            # 4× narrower sorts stay in memory. Query-side the extra tasks
-            # are pruned batch scans, not extra stages.
-            p = max(4 * spark.sparkContext.defaultParallelism, 8)
+            # Width = tf_cache_width_mult × cores (default 4), NOT cores:
+            # HashPartitioning(doc_id) satisfies the agg's
+            # ClusteredDistribution at ANY width, but the per-partition
+            # term sort is the cache build's dominant cost (294 s of a
+            # 339 s build at 88M rows / 16 partitions — external-sort
+            # spill; BENCH/BASELINE.md round-4 section), and 4× narrower
+            # sorts stay in memory. Query-side the extra tasks are pruned
+            # batch scans, not extra stages — but every query still
+            # schedules mult×cores tasks, so a latency deployment on a
+            # big cluster can set tf_cache_width_mult=1 (minimum per-query
+            # task count) and eat the one-time build-sort spill, while a
+            # memory-tight build keeps 4. The multiplier is a constructor
+            # knob precisely because it couples a build-time concern
+            # (sort working set) to a steady-state one (tasks per query).
+            p = max(tf_cache_width_mult
+                    * spark.sparkContext.defaultParallelism, 8)
             self.tf = (
                 spark.read.parquet(os.path.join(index_dir, "tf"))
                 .repartition(p, "doc_id")

@@ -289,14 +289,28 @@ def minhash_signatures_fast(docs: DataFrame, text_col: str = "text",
 
 
 def _exploded_shingles(docs: DataFrame, text_col: str, id_col: str,
-                       k: int) -> DataFrame:
+                       k: int, hashed: bool = False) -> DataFrame:
     """→ (doc_id, sh): distinct character k-shingles, one row each — the
-    verify-side input (normalization bound before the per-position HOF)."""
-    return (docs.select(F.col(id_col).alias("doc_id"),
-                        norm_content(F.col(text_col)).alias("__t"))
-            .select("doc_id",
-                    F.explode(F.array_distinct(
-                        shingles_of(F.col("__t"), k))).alias("sh")))
+    verify-side input (normalization bound before the per-position HOF).
+
+    ``hashed=True`` maps each shingle to ``xxhash64(sh)`` (bigint). The
+    verify joins/aggregates are then over fixed-width 8-byte keys instead
+    of variable-width strings — the (doc, shingle)-grain intermediate is
+    the largest thing the verify shuffles, so this is where width matters.
+    Set-Jaccard over hashed shingles equals Jaccard over the shingles
+    themselves unless two distinct shingles of one pair's union collide in
+    64 bits (P ≈ |union|²/2⁶⁵ ≈ 10⁻¹³ for 10⁴-shingle docs — and a
+    collision only perturbs that one pair's jaccard by 1/|union|).
+    Identical shingle sets still hash identically, so exact dups stay
+    J=1.0 bit-for-bit."""
+    ex = (docs.select(F.col(id_col).alias("doc_id"),
+                      norm_content(F.col(text_col)).alias("__t"))
+          .select("doc_id",
+                  F.explode(F.array_distinct(
+                      shingles_of(F.col("__t"), k))).alias("sh")))
+    if hashed:
+        ex = ex.select("doc_id", F.xxhash64("sh").alias("sh"))
+    return ex
 
 
 def minhash_band_hashes(docs: DataFrame, text_col: str = "text",
@@ -401,7 +415,11 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                 .union(cand.select(F.col("doc_b").alias(id_col)))
                 .distinct())
     docs_c = docs.join(cand_ids, id_col, "left_semi")
-    ex = _exploded_shingles(docs_c, text_col, id_col, shingle_k)
+    # hashed=True: the verify's (doc, shingle) table and its two joins run
+    # over 8-byte keys; jaccard is over the hash domain (see
+    # _exploded_shingles — indistinguishable from string-domain Jaccard)
+    ex = _exploded_shingles(docs_c, text_col, id_col, shingle_k,
+                            hashed=True)
     sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         ex.withColumnRenamed("doc_id", "doc_a").join(cand, "doc_a")
@@ -470,12 +488,15 @@ def near_dup_check_incremental(new_docs: DataFrame, corpus_docs: DataFrame,
             .where(F.col("new_id") != F.col("old_id"))
             .select("new_id", "old_id").distinct())
 
-    ex_new = _exploded_shingles(new_docs, text_col, id_col, shingle_k)
+    # hashed shingles: same fixed-width-key verify as minhash_lsh_pairs
+    ex_new = _exploded_shingles(new_docs, text_col, id_col, shingle_k,
+                                hashed=True)
     # scan only the collided corpus docs' text
     hit_old = corpus_docs.join(
         cand.select(F.col("old_id").alias(id_col)).distinct(), id_col,
         "left_semi")
-    ex_old = _exploded_shingles(hit_old, text_col, id_col, shingle_k)
+    ex_old = _exploded_shingles(hit_old, text_col, id_col, shingle_k,
+                                hashed=True)
     sz_new = ex_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sz_old = ex_old.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (ex_new.withColumnRenamed("doc_id", "new_id").join(cand, "new_id")
