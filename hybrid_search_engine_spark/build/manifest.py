@@ -113,6 +113,7 @@ def build_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     fail_after_shards: int | None = None,
+    term_domain: str = "hash",
 ) -> IndexBuildResult:
     """Build (or resume) the full index for ``docs(doc_id, text, ...)``.
 
@@ -121,7 +122,18 @@ def build_index(
 
     ``fail_after_shards`` is a test hook: simulate a crash after N shards
     completed (builds only those shards, records them, then raises).
-    """
+
+    ``term_domain``: "hash" (default — the engine tier) keys the tf table,
+    term_stats, and postings by ``xxhash64(term)`` bigints instead of term
+    strings; the tf aggregation and posting shuffle/sort then run over
+    fixed-width keys (the build's dominant memory-bandwidth consumer —
+    see stats.term_frequencies_with_doclen for the measured win and the
+    collision analysis). Queries through ``IndexReader`` are transparent:
+    corpus.json records the domain and the reader maps query tokens with
+    the bit-parity driver-side xxhash64 — rank-identity between the two
+    domains is pinned by test. "string" is the portable/debug tier
+    (postings introspectable by eye; the domain streaming segments use,
+    since compact_segments decodes term values back out of blocks)."""
     import sys
 
     verbose = os.environ.get("HSE_BUILD_VERBOSE") == "1"
@@ -134,7 +146,14 @@ def build_index(
     t0 = time.time()
     docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
+    if term_domain not in ("string", "hash"):
+        raise ValueError(f"term_domain must be 'string' or 'hash', "
+                         f"got {term_domain!r}")
     fp = source_fingerprint(docs)  # one agg: count + content hash (fused)
+    # the term domain is part of build lineage: shards/tf built in one
+    # domain must not satisfy a resume in the other (keys differ), so it
+    # rides inside the fingerprint every resume check compares
+    fp["term_domain"] = term_domain
     _log("fingerprint done")
     done = done_shards(index_dir, fp)
     todo = [s for s in range(n_shards) if s not in done]
@@ -174,7 +193,8 @@ def build_index(
         with open(tf_marker) as f:
             tf_fresh = json.load(f) == fp
     if not tf_fresh:
-        tfdl = term_frequencies_with_doclen(docs, n_partitions=p_stats)
+        tfdl = term_frequencies_with_doclen(docs, n_partitions=p_stats,
+                                            term_domain=term_domain)
         tfdl.write.mode("overwrite").parquet(tf_dir)
         with open(tf_marker, "w") as f:
             json.dump(fp, f)
@@ -278,6 +298,7 @@ def build_index(
                        "avg_doc_len": avg_doc_len,
                        "k1": k1, "b": b, "n_shards": n_shards,
                        "block_size": block_size,
+                       "term_domain": term_domain,
                        "source_fingerprint": fp}, f)
 
     elapsed = time.time() - t0
@@ -333,6 +354,14 @@ class IndexReader:
             os.path.join(index_dir, "stats", "term_stats"))
         with open(os.path.join(index_dir, "stats", "corpus.json")) as f:
             self.corpus = json.load(f)
+        # hash-domain index (term_domain="hash"): query tokens map to the
+        # index's xxhash64 keys DRIVER-SIDE (bit-parity implementation —
+        # no Spark job on the latency path); absent key = legacy/portable
+        # string-domain index
+        self._term_key = None
+        if self.corpus.get("term_domain", "string") == "hash":
+            from ..functions.hashing import spark_xxhash64_str
+            self._term_key = spark_xxhash64_str
         if cache_postings:
             # partition count = min(n_shards, total cores): hash-partitioning
             # by shard_id at ANY width satisfies the per-query
@@ -399,6 +428,7 @@ class IndexReader:
             self.corpus["avg_doc_len"], query, k=k,
             k1=self.corpus["k1"], b=self.corpus["b"], mode=mode,
             shard_clustered=self._shard_clustered,
+            term_key=self._term_key,
         )
 
     def _search_exact_cached(self, query: str, k: int):
@@ -411,7 +441,10 @@ class IndexReader:
         from ..operators.wand import resolve_term_idf
         from ..reference_semantics import tokenize
 
-        toks = Counter(tokenize(query, remove_stopwords=True))
+        toks = tokenize(query, remove_stopwords=True)
+        if self._term_key is not None:
+            toks = [self._term_key(t) for t in toks]
+        toks = Counter(toks)
         idf = resolve_term_idf(self._tstats_arg, sorted(toks))
         weights = {t: idf[t] * float(w) for t, w in toks.items() if t in idf}
         if not weights:
@@ -433,4 +466,5 @@ class IndexReader:
             self.corpus["avg_doc_len"], queries, k=k,
             k1=self.corpus["k1"], b=self.corpus["b"], mode=mode,
             shard_clustered=self._shard_clustered,
+            term_key=self._term_key,
         )

@@ -45,19 +45,25 @@ from pyspark.sql import types as T
 
 from .codec import BLOCK_SIZE_DEFAULT
 
-POSTING_SCHEMA = T.StructType([
-    T.StructField("shard_id", T.IntegerType(), False),
-    T.StructField("term", T.StringType(), False),
-    T.StructField("block_id", T.IntegerType(), False),
-    T.StructField("first_doc", T.LongType(), False),
-    T.StructField("last_doc", T.LongType(), False),
-    T.StructField("n", T.IntegerType(), False),
-    T.StructField("deltas", T.BinaryType(), False),
-    T.StructField("tfs", T.BinaryType(), False),
-    T.StructField("dls", T.BinaryType(), False),
-    T.StructField("max_tf", T.IntegerType(), False),
-    T.StructField("max_score", T.DoubleType(), False),
-])
+def _posting_schema(term_type: "T.DataType") -> T.StructType:
+    """Posting-block schema; ``term`` is StringType in the portable domain
+    and LongType in the hash domain (build/manifest.py term_domain)."""
+    return T.StructType([
+        T.StructField("shard_id", T.IntegerType(), False),
+        T.StructField("term", term_type, False),
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("first_doc", T.LongType(), False),
+        T.StructField("last_doc", T.LongType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("deltas", T.BinaryType(), False),
+        T.StructField("tfs", T.BinaryType(), False),
+        T.StructField("dls", T.BinaryType(), False),
+        T.StructField("max_tf", T.IntegerType(), False),
+        T.StructField("max_score", T.DoubleType(), False),
+    ])
+
+
+POSTING_SCHEMA = _posting_schema(T.StringType())
 
 
 def with_shard(df: DataFrame, n_shards: int, doc_col: str = "doc_id") -> DataFrame:
@@ -132,10 +138,15 @@ def _encoder_stream(k1: float, b: float, avgdl: float, block_size: int):
                     [None, pa.py_buffer(np.ascontiguousarray(off, np.int32)),
                      pa.py_buffer(buf)])
 
+            # keep the input term dtype (string in the portable domain,
+            # int64 in the hash domain) — take() on a pa.Array returns a
+            # pa.Array of the same type, so no cast is needed
             term_out = col["term"].take(pa.array(c["starts"], pa.int64()))
+            if isinstance(term_out, pa.ChunkedArray):
+                term_out = term_out.combine_chunks()
             return pa.RecordBatch.from_arrays(
                 [pa.array(c["shard_id"], pa.int32()),
-                 term_out.cast(pa.string()),
+                 term_out,
                  pa.array(c["block_id"], pa.int32()),
                  pa.array(c["first_doc"], pa.int64()),
                  pa.array(c["last_doc"], pa.int64()),
@@ -225,8 +236,14 @@ def build_postings(tf: DataFrame, dstats: DataFrame | None, tstats: DataFrame,
                 "doc_len", "idf")
         .sortWithinPartitions("shard_id", "term", "doc_id")
     )
+    # output schema follows the tf table's term domain: string (portable)
+    # or bigint (hash tier — build/manifest.py term_domain="hash")
+    term_type = (T.LongType()
+                 if dict(tf.dtypes).get("term") == "bigint"
+                 else T.StringType())
     return sorted_runs.mapInArrow(
-        _encoder_stream(k1, b, avgdl, block_size), schema=POSTING_SCHEMA
+        _encoder_stream(k1, b, avgdl, block_size),
+        schema=_posting_schema(term_type),
     )
 
 

@@ -74,7 +74,8 @@ def term_frequencies(docs: DataFrame, text_col: str = "text",
 def term_frequencies_with_doclen(docs: DataFrame, text_col: str = "text",
                                  id_col: str = "doc_id",
                                  remove_stopwords: bool = True,
-                                 n_partitions: int | None = None) -> DataFrame:
+                                 n_partitions: int | None = None,
+                                 term_domain: str = "string") -> DataFrame:
     """A1+A5 fused: (doc_id, term, tf, doc_len) with ONE exchange — of raw
     docs, not tokens. The web-scale statistics plan used by the index build.
 
@@ -91,9 +92,26 @@ def term_frequencies_with_doclen(docs: DataFrame, text_col: str = "text",
     measured superlinearity of the naive explode→partial-agg plan: at 1M
     docs / 16 input partitions each partial map held ~5.5M groups (~450MB)
     — spill + cache-miss regime, 11× cost for 5× docs (43s→472s, see
-    BENCH/BASELINE.md). ~8k docs per task keeps maps ~50MB and linear."""
+    BENCH/BASELINE.md). ~8k docs per task keeps maps ~50MB and linear.
+
+    ``term_domain="hash"`` replaces each token with ``xxhash64(token)``
+    (bigint) BEFORE the aggregation: the agg hash map then probes fixed
+    16-byte (doc_id, term) keys instead of string keys — a working-set cut
+    on the build's dominant, memory-bandwidth-bound stage (measured −23%
+    on this stage at 1M docs / 16 cores, interleaved A/B; SCALE.md
+    round-5). Query tokens map into the same domain driver-side via
+    ``functions.hashing.spark_xxhash64_str`` (bit-parity pinned by test),
+    so BM25 tf/df/idf — and therefore scores and ranks — are unchanged
+    unless two distinct vocabulary terms collide in 64 bits
+    (P ≈ V²/2⁶⁵: ~3·10⁻⁸ at V=10⁶; ~0.03 expected colliding PAIRS at a
+    10⁹-term web vocabulary, each merging one pair of (usually rare)
+    terms — the documented trade of the engine tier;
+    ``term_domain="string"`` remains the portable/debug form)."""
     from ..reference_semantics import STOPWORDS
 
+    if term_domain not in ("string", "hash"):
+        raise ValueError(f"term_domain must be 'string' or 'hash', "
+                         f"got {term_domain!r}")
     part = docs.select(F.col(id_col).alias("doc_id"),
                        F.col(text_col).alias("text"))
     if n_partitions:
@@ -107,6 +125,9 @@ def term_frequencies_with_doclen(docs: DataFrame, text_col: str = "text",
     )
     if remove_stopwords:
         exploded = exploded.where(~F.col("term").isin(sorted(STOPWORDS)))
+    if term_domain == "hash":
+        exploded = exploded.select(
+            "doc_id", F.xxhash64("term").alias("term"))
     tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     return tf.withColumn(
         "doc_len", F.sum("tf").over(Window.partitionBy("doc_id")))

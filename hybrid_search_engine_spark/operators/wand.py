@@ -244,10 +244,17 @@ def _shard_scores(pruned: DataFrame, scorer, shard_clustered: bool
 
 
 def _queries_info(queries: list[tuple], term_idf: dict,
-                  remove_stopwords: bool) -> dict:
+                  remove_stopwords: bool, term_key=None) -> dict:
+    """``term_key``: optional token → index-key mapping (hash-domain index:
+    ``functions.hashing.spark_xxhash64_str``); None = identity (string
+    domain). Applied AFTER tokenization, so query weights follow the same
+    collision-merge rule as the build side."""
     out = {}
     for qid, text in queries:
-        toks = Counter(tokenize(text, remove_stopwords=remove_stopwords))
+        toks = tokenize(text, remove_stopwords=remove_stopwords)
+        if term_key is not None:
+            toks = [term_key(t) for t in toks]
+        toks = Counter(toks)
         qinfo = {t: (term_idf[t], float(w)) for t, w in toks.items()
                  if t in term_idf}
         if qinfo:
@@ -270,15 +277,21 @@ def search_index_batch(spark: SparkSession, postings: DataFrame, tstats,
                        avgdl: float, queries: list[tuple], k: int = 10,
                        k1: float = 1.5, b: float = 0.75,
                        remove_stopwords: bool = True, mode: str = "pruned",
-                       shard_clustered: bool = False) -> DataFrame:
+                       shard_clustered: bool = False,
+                       term_key=None) -> DataFrame:
     """[(query_id, text)] → (query_id, rank, doc_id, score): ONE plan for all
-    queries; per-shard decode caches are shared across queries."""
-    all_terms = sorted({
+    queries; per-shard decode caches are shared across queries.
+    ``term_key``: token → index-key mapping for hash-domain indexes
+    (see _queries_info)."""
+    all_terms = {
         t for _, text in queries
         for t in tokenize(text, remove_stopwords=remove_stopwords)
-    })
+    }
+    if term_key is not None:
+        all_terms = {term_key(t) for t in all_terms}
+    all_terms = sorted(all_terms)
     term_idf = resolve_term_idf(tstats, all_terms) if all_terms else {}
-    qsinfo = _queries_info(queries, term_idf, remove_stopwords)
+    qsinfo = _queries_info(queries, term_idf, remove_stopwords, term_key)
     if not qsinfo:
         return local_df(
             spark, [], "query_id int, rank int, doc_id long, score double")
@@ -307,11 +320,16 @@ def search_index(spark: SparkSession, postings: DataFrame, tstats,
                  avgdl: float, query: str, k: int = 10,
                  k1: float = 1.5, b: float = 0.75,
                  remove_stopwords: bool = True, mode: str = "pruned",
-                 shard_clustered: bool = False) -> DataFrame:
-    """Single-query top-k (latency path): global TakeOrderedAndProject merge."""
-    terms = sorted(set(tokenize(query, remove_stopwords=remove_stopwords)))
+                 shard_clustered: bool = False,
+                 term_key=None) -> DataFrame:
+    """Single-query top-k (latency path): global TakeOrderedAndProject merge.
+    ``term_key``: token → index-key mapping for hash-domain indexes."""
+    terms = set(tokenize(query, remove_stopwords=remove_stopwords))
+    if term_key is not None:
+        terms = {term_key(t) for t in terms}
+    terms = sorted(terms)
     term_idf = resolve_term_idf(tstats, terms) if terms else {}
-    qsinfo = _queries_info([(0, query)], term_idf, remove_stopwords)
+    qsinfo = _queries_info([(0, query)], term_idf, remove_stopwords, term_key)
     if not qsinfo:
         return local_df(spark, [], "doc_id long, score double")
 

@@ -84,7 +84,11 @@ def incremental_index_query(spark: SparkSession, src_dir: str,
         if not docs.head(1):
             return
         seg_dir = os.path.join(index_root, "segments", f"{batch_id:06d}")
-        build_index(spark, docs, seg_dir, n_shards=n_shards)
+        # segments stay in the portable string domain: compact_segments
+        # decodes term values back OUT of posting blocks, and its tf schema
+        # (and cross-segment df/idf merge) is defined over term strings
+        build_index(spark, docs, seg_dir, n_shards=n_shards,
+                    term_domain="string")
 
     w = (
         stream_pages(spark, src_dir).writeStream
@@ -163,7 +167,11 @@ def dedup_checked_ingest(spark: SparkSession, src_dir: str, index_root: str,
         if not docs.head(1):
             return
         seg_dir = os.path.join(index_root, "segments", f"{batch_id:06d}")
-        build_index(spark, docs, seg_dir, n_shards=n_shards)
+        # segments stay in the portable string domain: compact_segments
+        # decodes term values back OUT of posting blocks, and its tf schema
+        # (and cross-segment df/idf merge) is defined over term strings
+        build_index(spark, docs, seg_dir, n_shards=n_shards,
+                    term_domain="string")
         minhash_band_hashes(docs).write.mode("append").parquet(bands_dir)
         docs.select("doc_id", "text").write.mode("append").parquet(store_dir)
 
