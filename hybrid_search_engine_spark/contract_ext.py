@@ -60,6 +60,74 @@ FROM sh GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# full LSH near-dup pipeline (md5 banding + exact-Jaccard verify)
+# ---------------------------------------------------------------------------
+
+def q_lsh_pairs(spark, sf_dir):
+    """The COMPLETE minhash_lsh_pairs pipeline — signatures → banded
+    self-join → exact verify — oracle-checked end-to-end: md5 signature
+    tier (DuckDB-replayable) with the engine's vectorized numpy verify.
+    The oracle replays the banding in SQL and computes the same exact
+    char-3-shingle Jaccard via list_intersect, so a hash-domain or
+    band-join bug on EITHER stage breaks the row."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), num_perm=4, bands=2,
+                              shingle_k=3, jaccard_threshold=0.5,
+                              band_bucket_cap=0, signatures="md5",
+                              verify="vectorized")
+    return pairs.select("doc_a", "doc_b",
+                        F.round("jaccard", 6).alias("jaccard_r"))
+
+
+# Banding parity: num_perm=4 / bands=2 → rows_per_band=2, so band 0 =
+# md5(s0 || '|' || s1), band 1 = md5(s2 || '|' || s3) (operators/dedup.py::
+# minhash_band_hashes, md5 path: F.md5(F.concat_ws("|", ...))). The verify
+# counts DISTINCT char-3-shingles of the normalized text exactly — the
+# engine does it over 64-bit shingle hashes (collision odds §_exploded_
+# shingles), the oracle over the strings; values match to the rounding.
+SQL_LSH_PAIRS = f"""
+WITH pos AS (
+  SELECT doc_id, t,
+         unnest(range(1, greatest(length(t) - 1, 2))) AS i
+  FROM (SELECT doc_id, {NORM_SQL} AS t FROM documents)
+), sh AS (
+  SELECT doc_id, md5('0:' || substr(t, CAST(i AS INT), 3)) AS h FROM pos
+), sig AS (
+  SELECT doc_id,
+         min(substr(h, 1, 8)) AS s0, min(substr(h, 9, 8)) AS s1,
+         min(substr(h, 17, 8)) AS s2, min(substr(h, 25, 8)) AS s3
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_id, md5(s0 || '|' || s1) AS band_hash FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, md5(s2 || '|' || s3) AS band_hash FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+), shl AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN length(t) >= 3
+              THEN list_transform(range(1, length(t) - 1),
+                                  i -> substr(t, CAST(i AS INT), 3))
+              ELSE [t] END) AS ss
+  FROM (SELECT doc_id, {NORM_SQL} AS t FROM documents)
+)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(a.ss, b.ss))::DOUBLE
+             / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 6
+             ) AS jaccard_r
+FROM cand
+JOIN shl a ON a.doc_id = cand.doc_a
+JOIN shl b ON b.doc_id = cand.doc_b
+WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
+      / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
 # token-bigram Jaccard near-dup pairs (exact — no df cap)
 # ---------------------------------------------------------------------------
 
@@ -1615,6 +1683,7 @@ SELECT doc_id, {case} AS split FROM h
 
 QUERIES_EXT = {
     "minhash_sig": q_minhash_sig,
+    "lsh_pairs": q_lsh_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash16": q_simhash16,
     "knn_brute": q_knn_brute,
@@ -1655,6 +1724,7 @@ def _oracles_ext():
 
     return {
         "minhash_sig": SQL_MINHASH_SIG,
+        "lsh_pairs": SQL_LSH_PAIRS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "simhash16": SQL_SIMHASH16,
         "knn_brute": SQL_KNN_BRUTE,

@@ -340,3 +340,54 @@ def test_near_dup_check_probe_bucket_cap(spark):
     uncapped = near_dup_check_incremental(new, corpus, jaccard_threshold=0.8,
                                           probe_bucket_cap=0)
     assert {r["dup_of"] for r in uncapped.collect()} == {1, 2, 3}
+
+
+def test_verify_vectorized_equals_inverted(spark, docs_idx):
+    """The two exact-verify plans (numpy sorted-array intersection vs
+    shingle-grain inverted-index joins) are the SAME function: identical
+    (doc_a, doc_b) sets and identical jaccard values on the fixture corpus
+    at a loose and a tight threshold. Both count distinct char-3-shingles
+    exactly — the hash domains differ (splitmix64 rolling vs xxhash64
+    string) but an injective-whp map cannot change a set intersection."""
+    from hybrid_search_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    for thr in (0.5, 0.8):
+        vec = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+               for r in minhash_lsh_pairs(docs_idx, jaccard_threshold=thr,
+                                          verify="vectorized").collect()}
+        inv = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+               for r in minhash_lsh_pairs(docs_idx, jaccard_threshold=thr,
+                                          verify="inverted").collect()}
+        assert set(vec) == set(inv), thr
+        for pair, jv in vec.items():
+            assert abs(jv - inv[pair]) < 1e-12, (pair, jv, inv[pair])
+
+
+def test_verify_vectorized_hand_valued(spark):
+    """Exact jaccard value on a hand-computable pair: 'abcdef' vs 'abcdez'
+    have 3-shingle sets {abc,bcd,cde,def} and {abc,bcd,cde,dez} →
+    jaccard = 3/5. Both verify plans must produce exactly 0.6, and an
+    exact duplicate pair must produce exactly 1.0."""
+    from hybrid_search_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abcdez"), (3, "abcdef")],
+        "doc_id long, text string")
+    for verify in ("vectorized", "inverted"):
+        got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+               for r in minhash_lsh_pairs(docs, num_perm=32, bands=16,
+                                          jaccard_threshold=0.5,
+                                          verify=verify).collect()}
+        assert got.get((1, 3)) == 1.0, (verify, got)
+        # (1,2)/(2,3) at 0.6 appear iff LSH banding collides them — if
+        # present, the VALUE must be exact
+        for pair in ((1, 2), (2, 3)):
+            if pair in got:
+                assert got[pair] == 0.6, (verify, pair, got[pair])
+
+
+def test_verify_param_validation(spark, docs_idx):
+    from hybrid_search_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    with pytest.raises(ValueError, match="verify"):
+        minhash_lsh_pairs(docs_idx, verify="nope")
