@@ -443,6 +443,54 @@ def _jaccard_of_arrays():
     return jacc
 
 
+# Per-worker copy budget for the broadcast verify tier: the candidate-doc
+# shingle arrays are collected once and broadcast, and EVERY python worker
+# unpickles its own copy, so the budget is per-worker memory, not cluster
+# memory (32 local workers × 128 MB = 4 GB worst case here).
+VERIFY_BROADCAST_BUDGET = 128 << 20
+
+
+def _verify_pairs_broadcast(cand: DataFrame, arrs: DataFrame,
+                            jaccard_threshold: float) -> DataFrame:
+    """Exact-Jaccard verify, broadcast form: collect the candidate-doc
+    shingle arrays ONCE (Arrow), broadcast the doc_id→array dict, and
+    compute per-pair Jaccard map-side over the skinny (doc_a, doc_b)
+    rows with ``mapInPandas`` — zero joins, zero array duplication.
+
+    Why it exists: the join form ships each doc's array once per pair
+    membership; on a dense near-dup corpus (sf0.1 bench: 230k candidate
+    pairs over 4.9k docs, avg degree ~95) that is ~5.5 GB of array
+    traffic to verify a 40 MB array set. Same switch the WAND batch path
+    makes at BATCH_BROADCAST_MIN — when the side data fits a worker,
+    broadcast it and keep the big side skinny. The join plans remain the
+    scale path when candidate docs exceed VERIFY_BROADCAST_BUDGET."""
+    from pyspark.sql import types as T
+
+    from .. import ensure_udf_serializable
+    ensure_udf_serializable()
+
+    pdf = arrs.toPandas()
+    lut = {d: np.asarray(a, np.int64)
+           for d, a in zip(pdf["doc_id"].tolist(), pdf["sh_arr"])}
+    blut = cand.sparkSession.sparkContext.broadcast(lut)
+    schema = T.StructType(list(cand.schema.fields)
+                          + [T.StructField("jaccard", T.DoubleType())])
+
+    def gen(batches):
+        lu = blut.value
+        for b in batches:
+            j = np.empty(len(b), np.float64)
+            for i, (x, y) in enumerate(zip(b["doc_a"], b["doc_b"])):
+                xa, xb = lu[x], lu[y]
+                inter = np.intersect1d(xa, xb, assume_unique=True).size
+                denom = xa.size + xb.size - inter
+                j[i] = inter / denom if denom else 1.0
+            out = b.assign(jaccard=j)
+            yield out[out["jaccard"] >= jaccard_threshold]
+
+    return cand.mapInPandas(gen, schema=schema)
+
+
 def _verify_pairs_vectorized(cand: DataFrame, arrs: DataFrame,
                              jaccard_threshold: float) -> DataFrame:
     """Exact-Jaccard verify, array form: join each candidate doc's sorted
@@ -473,7 +521,9 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       jaccard_threshold: float = 0.8,
                       band_bucket_cap: int = 200,
                       signatures: str = "fast",
-                      verify: str = "vectorized") -> DataFrame:
+                      verify: str = "auto",
+                      broadcast_budget_bytes: int = VERIFY_BROADCAST_BUDGET,
+                      ) -> DataFrame:
     """→ (doc_a, doc_b, jaccard) near-duplicate pairs.
 
     Pipeline: signatures → explode into `bands` band-hashes → self-equi-join
@@ -486,12 +536,22 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     final pairs are exact-Jaccard verified either way, so the choice only
     moves candidate-recall, which the planted-dup tests pin for both.
 
-    ``verify``: 'vectorized' (default) or 'inverted' — two plans for the
-    same exact set-Jaccard over hashed shingles (the engine's third verify
-    generation; both keep the O(candidates)-not-O(corpus) semi-join and
-    both hash shingles to 64-bit keys, see _exploded_shingles for the
-    collision analysis):
+    ``verify``: 'auto' (default), 'broadcast', 'vectorized' or 'inverted'
+    — plans for the same exact set-Jaccard over hashed shingles (all keep
+    the O(candidates)-not-O(corpus) semi-join and hash shingles to 64-bit
+    keys, see _exploded_shingles for the collision analysis):
 
+    - 'auto': measure the candidate-doc array payload (one agg over the
+      persisted arrays); 'broadcast' when it fits
+      ``broadcast_budget_bytes`` (per python-worker copy), else
+      'vectorized'. The right default at every scale: dense small-corpus
+      verifies take the zero-join path, web-scale candidate sets fall
+      back to the distributed join.
+    - 'broadcast': collect the candidate-doc arrays once, broadcast the
+      doc→array dict, per-pair Jaccard map-side over the skinny pair
+      rows (``_verify_pairs_broadcast``). Measured 3.5× over
+      'vectorized' on the sf0.1 bench corpus (230k candidates / 4.9k
+      docs / ~40 MB of arrays).
     - 'vectorized': each candidate doc → ONE sorted distinct int64
       shingle-hash array (``_shingle_arr_udf`` — a single Arrow pass, no
       explode), arrays joined onto the pairs (wide rows, |pairs| of them),
@@ -507,9 +567,9 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
       all, so it stays the right shape when SPARSE candidates meet very
       LONG documents (array duplication would dominate) — and it is the
       shape the incremental probe (near_dup_check_incremental) shares."""
-    if verify not in ("vectorized", "inverted"):
-        raise ValueError(f"verify must be 'vectorized' or 'inverted', "
-                         f"got {verify!r}")
+    if verify not in ("auto", "broadcast", "vectorized", "inverted"):
+        raise ValueError(f"verify must be 'auto', 'broadcast', "
+                         f"'vectorized' or 'inverted', got {verify!r}")
     banded = minhash_band_hashes(docs, text_col, id_col, num_perm, bands,
                                  shingle_k, signatures,
                                  band_bucket_cap=band_bucket_cap)
@@ -547,10 +607,21 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                 .distinct())
     docs_c = docs.join(cand_ids, id_col, "left_semi")
 
-    if verify == "vectorized":
+    if verify in ("auto", "broadcast", "vectorized"):
+        # persisted: the join plan references the arrays on BOTH sides of
+        # the pair and 'auto' sizes them first — without persistence the
+        # shingle UDF would run once per consumer
         arrs = docs_c.select(
             F.col(id_col).alias("doc_id"),
-            _shingle_arr_udf(shingle_k)(F.col(text_col)).alias("sh_arr"))
+            _shingle_arr_udf(shingle_k)(F.col(text_col)).alias("sh_arr"),
+        ).persist()
+        if verify == "auto":
+            payload = 8 * (arrs.agg(F.coalesce(F.sum(F.size("sh_arr")),
+                                               F.lit(0))).first()[0] or 0)
+            verify = ("broadcast" if payload <= broadcast_budget_bytes
+                      else "vectorized")
+        if verify == "broadcast":
+            return _verify_pairs_broadcast(cand, arrs, jaccard_threshold)
         return _verify_pairs_vectorized(cand, arrs, jaccard_threshold)
 
     # hashed=True: the verify's (doc, shingle) table and its two joins run
@@ -891,8 +962,11 @@ def _cc_local(e: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for r in e.collect():
-        ra, rb = find(r[0]), find(r[1])
+    # Arrow collect: tolist() converts numpy scalars back to python
+    # ints/strs so min/max and the local_df rows stay plain types
+    pdf = e.toPandas()
+    for a, b in zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()):
+        ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     rows = [(n, find(n)) for n in parent]

@@ -361,6 +361,28 @@ def test_verify_vectorized_equals_inverted(spark, docs_idx):
         assert set(vec) == set(inv), thr
         for pair, jv in vec.items():
             assert abs(jv - inv[pair]) < 1e-12, (pair, jv, inv[pair])
+        bc = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+              for r in minhash_lsh_pairs(docs_idx, jaccard_threshold=thr,
+                                         verify="broadcast").collect()}
+        assert bc == vec, thr
+
+
+def test_verify_auto_tier_selection(spark, docs_idx):
+    """'auto' picks broadcast under the budget and the join plan above
+    it — and both routes produce the identical pair set (auto must never
+    change the answer, only the plan)."""
+    from hybrid_search_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    small_budget = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                    for r in minhash_lsh_pairs(
+                        docs_idx, jaccard_threshold=0.5, verify="auto",
+                        broadcast_budget_bytes=0).collect()}
+    big_budget = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                  for r in minhash_lsh_pairs(
+                      docs_idx, jaccard_threshold=0.5, verify="auto",
+                      broadcast_budget_bytes=1 << 40).collect()}
+    assert small_budget == big_budget
+    assert len(big_budget) > 0
 
 
 def test_verify_vectorized_hand_valued(spark):
@@ -373,7 +395,7 @@ def test_verify_vectorized_hand_valued(spark):
     docs = spark.createDataFrame(
         [(1, "abcdef"), (2, "abcdez"), (3, "abcdef")],
         "doc_id long, text string")
-    for verify in ("vectorized", "inverted"):
+    for verify in ("vectorized", "inverted", "broadcast"):
         got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
                for r in minhash_lsh_pairs(docs, num_perm=32, bands=16,
                                           jaccard_threshold=0.5,
