@@ -268,7 +268,10 @@ def child_cluster(k: int, cores_per_exec: int, pages_path: str, out_json: str) -
         shutil.rmtree(extra["spark.local.dir"], ignore_errors=True)
         os.environ.pop("SPARK_LOCAL_DIRS", None)
     if eventlog_dir:
-        shutil.rmtree(eventlog_dir, ignore_errors=True)
+        if os.environ.get("HSE_MJ_KEEP_EVENTLOG") == "1":
+            print(f"[child] event log kept: {eventlog_dir}", file=sys.stderr)
+        else:
+            shutil.rmtree(eventlog_dir, ignore_errors=True)
 
 
 def child_slice(slice_idx: int, k: int, cores: int, pages_path: str, out_json: str) -> None:
