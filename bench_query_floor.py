@@ -68,9 +68,29 @@ def main() -> None:
     reader = IndexReader(spark, idx, cache_postings=True, cache_tf=True)
     open_s = time.time() - t0
 
-    # rarest usable term: 1 block, ~0 python scoring -> job floor
-    rare = (reader.term_stats.orderBy("df", "term")
-            .select("term").limit(1).collect()[0][0])
+    # rarest usable term: 1 block, ~0 python scoring -> job floor.
+    # term_stats keys are bigint hashes on the engine tier
+    # (term_domain="hash", build/manifest.py), so recover a QUERYABLE
+    # string by hashing the fixture vocabulary driver-side and joining:
+    # the rarest vocab word present in the index, by (df, term).
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from fixtures.gen_corpus import SEED, _make_vocab
+    from hybrid_search_engine_spark.functions.hashing import (
+        spark_xxhash64_str,
+    )
+
+    vocab = _make_vocab(_random.Random(SEED))  # the corpus's own vocabulary
+    term_dtype = dict(reader.term_stats.dtypes)["term"]
+    if term_dtype == "bigint":
+        by_key = {spark_xxhash64_str(w): w for w in vocab}
+    else:
+        by_key = {w: w for w in vocab}
+    hits = {r["term"]: r["df"] for r in reader.term_stats.where(
+        F.col("term").isin(list(by_key))).select("term", "df").collect()}
+    rare = by_key[min(hits, key=lambda t: (hits[t], by_key[t]))]
     # warmup: spin up python workers on every core before timing
     for _ in range(3):
         reader.search("the quick brown fox jumps", k=10).collect()
