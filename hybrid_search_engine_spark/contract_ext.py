@@ -1678,6 +1678,72 @@ SELECT doc_id, {case} AS split FROM h
 
 
 # ---------------------------------------------------------------------------
+# url_canonical: web-crawl URL canonicalization (functions/url.py)
+# ---------------------------------------------------------------------------
+# The driver tables carry no URL column, so both engines synthesize the
+# SAME urls deterministically from documents(doc_id, source) — six variants
+# covering every canonicalization rule (case, www, default/kept ports,
+# trailing slashes, tracking params, empty-segment queries, fragments,
+# non-URL passthrough) — then canonicalize. Exercises the operator over
+# every documents row, not a literal fixture.
+
+_URL_VARIANTS = [
+    ("'HTTPS://WWW.' || source || '.Example.com:443/Docs/' || id || "
+     "'/?utm_source=feed&b=2&a=1#frag'"),
+    "'http://' || source || '.example.com:80/a//?z=1&y=&x=3'",
+    "'https://' || source || '.example.com/'",
+    "'ftp://Host.com:21/file/' || id",
+    "'doc ' || id || ' has no url'",
+    "'  https://m.' || source || '.example.com/p?gclid=1&ref=x  '",
+]
+
+
+def q_url_canonical(spark, sf_dir):
+    from .functions.url import canonicalize_url
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sid = F.col("doc_id").cast("string")
+    src = F.col("source")
+
+    def build(expr: str):
+        parts = []
+        for tok in expr.split(" || "):
+            if tok == "id":
+                parts.append(sid)
+            elif tok == "source":
+                parts.append(src)
+            else:
+                parts.append(F.lit(tok[1:-1]))
+        return F.concat(*parts)
+
+    v = F.pmod(F.col("doc_id"), F.lit(len(_URL_VARIANTS)))
+    url = F.when(v == 0, build(_URL_VARIANTS[0]))
+    for i in range(1, len(_URL_VARIANTS) - 1):
+        url = url.when(v == i, build(_URL_VARIANTS[i]))
+    url = url.otherwise(build(_URL_VARIANTS[-1]))
+    return d.select("doc_id", url.alias("url"),
+                    canonicalize_url(url).alias("canon_url"))
+
+
+def _sql_url_canonical():
+    from .functions.url import duckdb_canonicalize_url_sql
+
+    n = len(_URL_VARIANTS)
+    def render(expr: str) -> str:  # token-exact: 'id' → cast, not substrings
+        return " || ".join("CAST(doc_id AS VARCHAR)" if t == "id" else t
+                           for t in expr.split(" || "))
+
+    whens = " ".join(f"WHEN {i} THEN {render(v)}"
+                     for i, v in enumerate(_URL_VARIANTS))
+    return f"""
+WITH u AS (
+  SELECT doc_id, CASE doc_id % {n} {whens} END AS url FROM documents)
+SELECT doc_id, url, {duckdb_canonicalize_url_sql('url')} AS canon_url
+FROM u
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1716,6 +1782,7 @@ QUERIES_EXT = {
     "multimodal_features": q_multimodal_features,
     "query_log": q_query_log,
     "mmr_rerank": q_mmr_rerank,
+    "url_canonical": q_url_canonical,
 }
 
 
@@ -1757,6 +1824,7 @@ def _oracles_ext():
         "multimodal_features": _sql_multimodal(),
         "query_log": _sql_query_log(),
         "mmr_rerank": _sql_mmr(),
+        "url_canonical": _sql_url_canonical(),
     }
 
 
