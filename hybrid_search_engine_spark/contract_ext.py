@@ -1743,6 +1743,39 @@ FROM u
 """
 
 
+def q_url_dedup(spark, sf_dir):
+    """Keep-latest-crawl per canonical URL — the first dedup pass of a
+    Common-Crawl pipeline (pages carry warc_ts; re-crawls of the same
+    canonical URL supersede older snapshots). Synthesized crawl time =
+    doc_id (deterministic, both engines); newest wins, doc_id breaks
+    ties. Doc-grain window over the canonical key — the same doc-hash
+    shuffle shape as every dedup operator here; at 10^12 docs the
+    canonical-url key is near-unique so the window groups are tiny."""
+    from .operators.url_dedup import keep_latest_by_canonical_url
+
+    urls = q_url_canonical(spark, sf_dir).select(
+        "doc_id", "url", F.col("doc_id").alias("crawl_ts"))
+    return keep_latest_by_canonical_url(
+        urls, url_col="url", ts_col="crawl_ts", id_col="doc_id")
+
+
+def _sql_url_dedup():
+    return f"""
+WITH c AS (
+  SELECT doc_id, canon_url, doc_id AS crawl_ts
+  FROM ({_sql_url_canonical()})),
+r AS (
+  SELECT doc_id, canon_url, crawl_ts,
+         row_number() OVER (PARTITION BY canon_url
+                            ORDER BY crawl_ts DESC, doc_id DESC) AS rn,
+         count(*) OVER (PARTITION BY canon_url) AS n_crawls
+  FROM c)
+SELECT doc_id, canon_url, CAST(crawl_ts AS BIGINT) AS crawl_ts,
+       CAST(n_crawls AS BIGINT) AS n_crawls
+FROM r WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1783,6 +1816,7 @@ QUERIES_EXT = {
     "query_log": q_query_log,
     "mmr_rerank": q_mmr_rerank,
     "url_canonical": q_url_canonical,
+    "url_dedup": q_url_dedup,
 }
 
 
@@ -1825,6 +1859,7 @@ def _oracles_ext():
         "query_log": _sql_query_log(),
         "mmr_rerank": _sql_mmr(),
         "url_canonical": _sql_url_canonical(),
+        "url_dedup": _sql_url_dedup(),
     }
 
 

@@ -144,3 +144,29 @@ def test_contract_row(spark, sf_dir):
                   for r in con.execute(_sql_url_canonical()).fetchall())
     got = sorted((r["doc_id"], r["url"], r["canon_url"]) for r in rows)
     assert got == want
+
+
+def test_keep_latest_by_canonical_url(spark):
+    from hybrid_search_engine_spark.operators.url_dedup import (
+        keep_latest_by_canonical_url,
+    )
+
+    rows = [
+        # three crawls of one canonical page under url variations
+        (1, 10, "https://www.example.com/a/?utm_source=x"),
+        (2, 30, "https://example.com/a"),
+        (3, 20, "HTTPS://EXAMPLE.com:443/a/"),
+        # timestamp tie -> higher doc_id wins
+        (4, 5, "http://other.com/p"),
+        (5, 5, "http://other.com/p/"),
+        # singleton
+        (6, 1, "ftp://x.com/f"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, warc_ts long, url string")
+    got = {r["canon_url"]: (r["doc_id"], r["warc_ts"], r["n_crawls"])
+           for r in keep_latest_by_canonical_url(df).collect()}
+    assert got == {
+        "https://example.com/a": (2, 30, 3),
+        "http://other.com/p": (5, 5, 2),
+        "ftp://x.com/f": (6, 1, 1),
+    }
