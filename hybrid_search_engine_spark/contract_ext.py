@@ -1777,6 +1777,56 @@ FROM r WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# line_dedup: corpus-wide boilerplate-line removal (operators/line_dedup.py)
+# ---------------------------------------------------------------------------
+# The driver documents are single-line texts, so both engines reshape each
+# text into 3-token lines first (same chunking, native on both sides); the
+# 29-term vocabulary makes 3-gram lines collide corpus-wide, which is
+# exactly the boilerplate-frequency shape the operator targets.
+
+_LINE_CHUNK = 3
+
+
+def q_line_dedup(spark, sf_dir):
+    from .operators.line_dedup import dedup_lines
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    lines = F.transform(
+        F.sequence(F.lit(0),
+                   F.floor((F.size(toks) - 1) / _LINE_CHUNK).cast("int")),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * _LINE_CHUNK + 1, _LINE_CHUNK)))
+    reshaped = d.select("doc_id",
+                        F.array_join(lines, "\n").alias("text"))
+    return dedup_lines(reshaped)
+
+
+def _sql_line_dedup():
+    k = _LINE_CHUNK
+    return f"""
+WITH reshaped AS (
+  SELECT doc_id,
+         array_to_string(list_apply(
+           range(0, greatest(len(string_split(text, ' ')), 1), {k}),
+           i -> array_to_string(list_slice(string_split(text, ' '),
+                                           i + 1, i + {k}), ' ')),
+           chr(10)) AS text
+  FROM documents),
+l AS (SELECT doc_id, generate_subscripts(ls, 1) AS i, unnest(ls) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM reshaped)),
+f AS (SELECT line, count(*) AS c FROM l GROUP BY line)
+SELECT l.doc_id,
+       coalesce(string_agg(CASE WHEN f.c <= 1 THEN l.line END,
+                           chr(10) ORDER BY l.i), '') AS text,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM l JOIN f USING (line)
+GROUP BY l.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1817,6 +1867,7 @@ QUERIES_EXT = {
     "mmr_rerank": q_mmr_rerank,
     "url_canonical": q_url_canonical,
     "url_dedup": q_url_dedup,
+    "line_dedup": q_line_dedup,
 }
 
 
@@ -1860,6 +1911,7 @@ def _oracles_ext():
         "mmr_rerank": _sql_mmr(),
         "url_canonical": _sql_url_canonical(),
         "url_dedup": _sql_url_dedup(),
+        "line_dedup": _sql_line_dedup(),
     }
 
 

@@ -1,0 +1,77 @@
+"""Corpus-wide line-level deduplication (web-pipeline boilerplate removal).
+
+Web-crawl training corpora are full of lines that repeat across documents
+— navigation text, cookie banners, footers, licence blurbs. The standard
+treatment (RefinedWeb's line-by-line dedup, MassiveText's repeated-line
+filters; public-domain methodology — the reference engine has no
+equivalent, this extends the training-data surface like dedup/quality/
+language-ID) is: split every document into lines, count each exact line
+across the WHOLE corpus, and strip lines whose corpus frequency exceeds a
+threshold, preserving the order of what remains.
+
+Plan shape (the 100 TB posture):
+
+    docs → posexplode(lines)                   [line grain, no shuffle]
+         → groupBy(line).count()               [THE line-grain shuffle]
+         → join back (line)                    [same partitioning reused]
+         → groupBy(doc_id) ordered reassembly  [doc-grain shuffle]
+
+Two shuffles, both ≈ corpus text size with partial aggregation on the
+first — the same volume class as the tf build (operators/stats.py). The
+line-frequency key is the line text itself; the boilerplate head (the
+whole point of the pass) is Zipf-like, but the skew lands in the COUNT
+aggregate where map-side partial aggregation flattens it before the
+exchange, so no salting is needed — the post-agg table is (line, count)
+with one row per distinct line. Lines are compared EXACTLY (no
+normalization): callers wanting whitespace-insensitive matching
+normalize first (functions/text.py preprocess tiers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_lines(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", line_sep: str = "\n",
+                max_occurrences: int = 1) -> DataFrame:
+    """→ (id_col, text, n_lines, n_removed): ``text`` with every line
+    whose corpus-wide frequency exceeds ``max_occurrences`` removed,
+    remaining lines re-joined with ``line_sep`` in original order.
+
+    Documents whose lines are all removed (or that were empty) come back
+    with ``text = ''`` — dropping them is a caller policy, not this
+    operator's.
+    """
+    if max_occurrences < 1:
+        raise ValueError(f"max_occurrences must be >= 1, "
+                         f"got {max_occurrences}")
+    lines = docs.select(
+        F.col(id_col).alias("__id"),
+        # \Q..\E: line_sep is a LITERAL separator (Spark split takes a
+        # regex; the DuckDB oracle's string_split is literal — keep parity)
+        F.posexplode(F.split(F.col(text_col), f"\\Q{line_sep}\\E"))
+        .alias("i", "line"))
+    freq = lines.groupBy("line").agg(F.count(F.lit(1)).alias("__c"))
+    tagged = lines.join(freq, "line")
+    kept_struct = F.when(F.col("__c") <= max_occurrences,
+                         F.struct("i", "line"))  # NULL (skipped) otherwise
+    rebuilt = tagged.groupBy("__id").agg(
+        F.concat_ws(
+            line_sep,
+            F.transform(F.array_sort(F.collect_list(kept_struct)),
+                        lambda x: x["line"])).alias("__text"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("__c") > max_occurrences, 1)
+              .otherwise(0)).alias("n_removed"))
+    # restore docs that exploded to nothing (empty text has one '' line so
+    # this is belt-and-braces for null text) and project the final shape
+    return (docs.select(F.col(id_col))
+            .join(rebuilt, F.col(id_col) == F.col("__id"), "left")
+            .select(id_col,
+                    F.coalesce("__text", F.lit("")).alias("text"),
+                    F.coalesce("n_lines", F.lit(0)).cast("long"
+                                                         ).alias("n_lines"),
+                    F.coalesce("n_removed", F.lit(0)).cast(
+                        "long").alias("n_removed")))
