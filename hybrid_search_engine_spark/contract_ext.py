@@ -1827,6 +1827,73 @@ GROUP BY l.doc_id
 
 
 # ---------------------------------------------------------------------------
+# phrase_match: exact phrase search, scan tier (operators/phrase.py)
+# ---------------------------------------------------------------------------
+# Beyond-reference fulltext capability (the reference is bag-of-words BM25
+# only). Planted docs pin the edge cases the corpus can't guarantee:
+# overlapping occurrences, a repeated-term phrase, an out-of-order
+# non-match, and case/punctuation robustness. The oracle reconstructs the
+# same semantics relationally: tokens WITH ORDINALITY joined to a
+# (phrase, offset, term) table — a start qualifies iff every offset of the
+# phrase is satisfied, which the GROUP BY ... HAVING count(*) = phrase_len
+# enforces even when the phrase repeats a term (each offset j matches at
+# most one token row per start).
+
+PHRASES = ["window fast query", "table table", "fast query"]
+
+PLANTED_PHRASE_DOCS = [
+    # 'table table' overlaps: positions (1,2) and (2,3) -> n_matches=2
+    (910000001, "table table table window fast query end"),
+    (910000002, "window fast query then window fast query again"),
+    # all three terms present but out of order -> trigram must NOT match
+    (910000003, "fast window query table"),
+    # tokenizer lowercases and strips punctuation -> must match
+    (910000004, "Window FAST query, with punctuation!"),
+]
+
+
+def _docs_with_planted_phrases(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    p = local_df(spark, PLANTED_PHRASE_DOCS, "doc_id long, text string")
+    return d.unionByName(p)
+
+
+def q_phrase_match(spark, sf_dir):
+    from .operators.phrase import phrase_match_scan
+
+    return phrase_match_scan(_docs_with_planted_phrases(spark, sf_dir),
+                             PHRASES)
+
+
+def _sql_phrase_match():
+    planted = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text"
+        for i, t in PLANTED_PHRASE_DOCS)
+    ph_rows = ", ".join(
+        f"('{p}', {j}, '{t}', {len(p.split())})"
+        for p in PHRASES for j, t in enumerate(p.split()))
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents UNION ALL {planted}),
+t AS (SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9_]+') AS toks
+      FROM docs),
+u AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+      FROM t),
+ph(phrase, j, term, plen) AS (VALUES {ph_rows}),
+hits AS (
+  SELECT ph.phrase, u.doc_id, u.pos - ph.j AS start_pos
+  FROM u JOIN ph ON u.tok = ph.term
+  GROUP BY ph.phrase, ph.plen, u.doc_id, u.pos - ph.j
+  HAVING count(*) = ph.plen)
+SELECT phrase, doc_id,
+       CAST(count(*) AS INTEGER) AS n_matches,
+       CAST(min(start_pos) AS INTEGER) AS first_pos
+FROM hits GROUP BY phrase, doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1868,6 +1935,7 @@ QUERIES_EXT = {
     "url_canonical": q_url_canonical,
     "url_dedup": q_url_dedup,
     "line_dedup": q_line_dedup,
+    "phrase_match": q_phrase_match,
 }
 
 
@@ -1912,6 +1980,7 @@ def _oracles_ext():
         "url_canonical": _sql_url_canonical(),
         "url_dedup": _sql_url_dedup(),
         "line_dedup": _sql_line_dedup(),
+        "phrase_match": _sql_phrase_match(),
     }
 
 

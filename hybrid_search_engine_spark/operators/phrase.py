@@ -1,0 +1,173 @@
+"""Exact phrase search: scan tier + positional-postings index tier.
+
+Beyond-reference capability (the reference scores bag-of-words BM25 only —
+`search_engine/indexer.py` keeps no token positions), but it is THE
+canonical full-text-index operation missing from that surface, so it is
+built here as a first-class operator of the fulltext_index tier.
+
+Two tiers, proven equivalent by unit + property tests
+(`tests/test_phrase.py`):
+
+- **Scan tier** (`phrase_match_scan`): per-document JVM expressions — token
+  positions via an indexed `transform` + `filter`, adjacency via
+  `array_contains` on shifted positions. Zero shuffles, zero Python; the
+  whole matcher is one narrow projection over the corpus scan, so it
+  parallelizes embarrassingly at 100 TB and is the right tier for batch
+  re-annotation jobs ("tag every page containing this phrase").
+- **Index tier** (`doc_term_positions` + `phrase_search_indexed`): a
+  positional postings table (doc_id, term, positions[]) — the classic
+  inverted-index phrase algorithm. A query touches only the |phrase|
+  posting lists (term-equality filters are partition-prunable when the
+  postings are written term-bucketed, exactly like the BM25 tf shards in
+  build/manifest.py), then doc_id equi-joins + the same shifted-positions
+  adjacency check. Cost is bounded by the rarest term's document
+  frequency, not the corpus — the property that makes phrase queries
+  interactive at 10^12 docs. Positions are monotonically sorted ints, so
+  the delta-gap varint codec in operators/codec.py applies unchanged when
+  the postings are serialized (documented, not duplicated here).
+
+Semantics: tokens are the parity tokenizer's `[a-z0-9_]+` findall over
+lowercased text, positions 1-based; a phrase of n terms matches at start
+position p iff token[p+j] == term[j] for all j. Overlapping occurrences
+count separately ("table table table" contains "table table" twice), and
+repeated-term phrases are handled by the same shifted-containment rule.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_native_keep_order
+
+__all__ = [
+    "token_positions",
+    "phrase_starts",
+    "phrase_match_scan",
+    "doc_term_positions",
+    "phrase_search_indexed",
+]
+
+
+def token_positions(toks: Column, term: str) -> Column:
+    """1-based positions of ``term`` in the token array, as array<int>.
+
+    Indexed ``transform`` marks matches with their position and -1
+    elsewhere; ``filter`` drops the -1s. Both are codegen'd JVM HOFs — no
+    UDF, no shuffle.
+    """
+    marked = F.transform(
+        toks, lambda x, i: F.when(x == F.lit(term), i + 1).otherwise(F.lit(-1))
+    )
+    return F.filter(marked, lambda p: p >= 0)
+
+
+def phrase_starts(toks: Column, terms: list[str]) -> Column:
+    """Array of 1-based start positions where ``terms`` occur contiguously.
+
+    start p qualifies iff p ∈ positions(terms[0]) and for every j ≥ 1,
+    (p + j) ∈ positions(terms[j]). Overlaps count; repeated terms reuse
+    the same positions array.
+    """
+    if not terms:
+        raise ValueError("empty phrase")
+    pos = {t: token_positions(toks, t) for t in dict.fromkeys(terms)}
+
+    def _qualifies(p: Column) -> Column:
+        conds = [
+            F.array_contains(pos[t], p + j) for j, t in enumerate(terms) if j > 0
+        ]
+        return reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
+
+    return F.filter(pos[terms[0]], _qualifies)
+
+
+def phrase_match_scan(
+    docs: DataFrame, phrases: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Scan-tier matcher: (phrase, doc_id, n_matches, first_pos) for every
+    document containing each phrase at least once. One corpus scan for ALL
+    phrases (the per-phrase matchers are stacked into a single inline'd
+    struct array), all-JVM, shuffle-free."""
+    toks = tokens_native_keep_order(text_col)
+    base = docs.select("doc_id", toks.alias("toks"))
+    per_phrase = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("phrase"),
+                phrase_starts(F.col("toks"), p.split()).alias("starts"),
+            )
+            for p in phrases
+        ]
+    )
+    return (
+        base.select("doc_id", F.explode(per_phrase).alias("m"))
+        .select(
+            F.col("m.phrase").alias("phrase"),
+            "doc_id",
+            F.size("m.starts").alias("n_matches"),
+            F.array_min("m.starts").alias("first_pos"),
+        )
+        .where(F.col("n_matches") > 0)
+    )
+
+
+def doc_term_positions(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Positional postings: (doc_id, term, positions array<int>, tf int).
+
+    Same single token-grain shuffle shape as the BM25 tf build
+    (operators/stats.py) — posexplode → groupBy(doc_id, term) — with the
+    position list carried through ``collect_list`` and sorted so downstream
+    consumers (adjacency checks, gap encoding) can rely on monotonicity.
+    ``tf`` comes free as ``size(positions)``, so a positional index
+    subsumes the frequency index.
+    """
+    toks = tokens_native_keep_order(text_col)
+    return (
+        docs.select("doc_id", F.posexplode(toks).alias("idx", "term"))
+        .groupBy("doc_id", "term")
+        .agg(F.sort_array(F.collect_list(F.col("idx") + 1)).alias("positions"))
+        .withColumn("tf", F.size("positions"))
+    )
+
+
+def phrase_search_indexed(positional_tf: DataFrame, phrase: str) -> DataFrame:
+    """Index-tier phrase query over a `doc_term_positions` table.
+
+    Pulls one posting list per distinct term (term-equality filter →
+    partition-prunable on a term-bucketed layout), inner-joins on doc_id
+    (docs missing any term can't match), then applies the same
+    shifted-containment adjacency as the scan tier. Returns
+    (doc_id, n_matches, first_pos), rows only where n_matches > 0.
+    """
+    terms = phrase.split()
+    if not terms:
+        raise ValueError("empty phrase")
+    uniq = list(dict.fromkeys(terms))
+    joined: DataFrame | None = None
+    for k, t in enumerate(uniq):
+        side = positional_tf.where(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(f"pos_{k}")
+        )
+        joined = side if joined is None else joined.join(side, "doc_id")
+    colof = {t: f"pos_{k}" for k, t in enumerate(uniq)}
+
+    def _qualifies(p: Column) -> Column:
+        conds = [
+            F.array_contains(F.col(colof[t]), p + j)
+            for j, t in enumerate(terms)
+            if j > 0
+        ]
+        return reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
+
+    starts = F.filter(F.col(colof[terms[0]]), _qualifies)
+    return (
+        joined.select(
+            "doc_id",
+            F.size(starts).alias("n_matches"),
+            F.array_min(starts).alias("first_pos"),
+        )
+        .where(F.col("n_matches") > 0)
+    )
