@@ -1894,6 +1894,65 @@ FROM hits GROUP BY phrase, doc_id
 
 
 # ---------------------------------------------------------------------------
+# pii_redact: PII detection + redaction (operators/pii.py)
+# ---------------------------------------------------------------------------
+# The corpus is PII-free by construction, so the corpus rows exercise the
+# no-op path (all counts 0, redacted == text) while planted docs carry the
+# real detections, including the ordering traps: an SSN that would also
+# match the phone pattern (must count as SSN only), dotted triplets that
+# must NOT count as IPv4, and a '+'-prefixed spaced phone number.
+
+PLANTED_PII_DOCS = [
+    (920000001,
+     "Contact john.doe+spam@example-mail.com or admin@sub.example.org now"),
+    (920000002,
+     "Server at 192.168.0.1 and 10.0.0.255, call +1 555 0199 2837 today"),
+    (920000003, "SSN 123-45-6789 leaked; backup phone 555-0100-7788"),
+    (920000004, "no pii here, just 42 and version 1.2.3"),
+]
+
+
+def _docs_with_planted_pii(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    p = local_df(spark, PLANTED_PII_DOCS, "doc_id long, text string")
+    return d.unionByName(p)
+
+
+def q_pii_redact(spark, sf_dir):
+    from .operators.pii import redact_pii
+
+    return redact_pii(_docs_with_planted_pii(spark, sf_dir))
+
+
+def _sql_pii_redact():
+    from .operators.pii import PII_PATTERNS
+
+    planted = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text"
+        for i, t in PLANTED_PII_DOCS)
+    sel_prev = "SELECT doc_id, coalesce(text,'') AS c FROM docs"
+    stages, counts = [], []
+    for k, (name, pat, repl) in enumerate(PII_PATTERNS):
+        lit = pat.replace("'", "''")
+        stages.append(
+            f"s{k} AS (SELECT doc_id, "
+            + ", ".join(f"n_{n}" for n, _, _ in PII_PATTERNS[:k])
+            + (", " if k else "")
+            + f"CAST(len(regexp_extract_all(c, '{lit}')) AS INTEGER)"
+            f" AS n_{name}, "
+            f"regexp_replace(c, '{lit}', '{repl}', 'g') AS c "
+            f"FROM {f's{k-1}' if k else f'({sel_prev})'})")
+        counts.append(f"n_{name}")
+    last = f"s{len(PII_PATTERNS) - 1}"
+    return (
+        f"WITH docs AS (SELECT doc_id, text FROM documents UNION ALL "
+        f"{planted}),\n" + ",\n".join(stages) +
+        f"\nSELECT doc_id, {', '.join(counts)}, c AS redacted FROM {last}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1936,6 +1995,7 @@ QUERIES_EXT = {
     "url_dedup": q_url_dedup,
     "line_dedup": q_line_dedup,
     "phrase_match": q_phrase_match,
+    "pii_redact": q_pii_redact,
 }
 
 
@@ -1981,6 +2041,7 @@ def _oracles_ext():
         "url_dedup": _sql_url_dedup(),
         "line_dedup": _sql_line_dedup(),
         "phrase_match": _sql_phrase_match(),
+        "pii_redact": _sql_pii_redact(),
     }
 
 

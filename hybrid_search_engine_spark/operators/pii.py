@@ -1,0 +1,65 @@
+"""PII detection + redaction over web text — a training-data-pipeline
+operator (no counterpart in the reference, which indexes text verbatim;
+this is part of the beyond-reference LLM-pipeline surface the engine adds).
+
+Four detector classes, redacted in a fixed order so a span consumed by an
+earlier (more specific) detector can't be double-counted by a later one
+(an SSN is also a phone-shaped digit run; an IPv4 is dotted digits):
+
+    email -> SSN -> IPv4 -> phone
+
+Each count is measured on the text state BEFORE that step's replacement,
+i.e. after all earlier redactions — the sequential semantics are part of
+the operator's contract and are mirrored exactly by the DuckDB oracle
+(contract_ext.q_pii_redact) and the pure-Python `re` mirror used by the
+property tests.
+
+Everything is JVM-native `regexp_count`/`regexp_replace` — one shuffle-free
+projection over the corpus scan, embarrassingly parallel at 100 TB. The
+patterns deliberately stay inside the common subset of java.util.regex,
+RE2 (DuckDB), and Python `re`: character classes, bounded repetition, and
+ASCII `\\b` word boundaries only — no lookaround, no backreferences.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["PII_PATTERNS", "redact_pii", "py_redact_pii"]
+
+# (name, pattern, replacement) in redaction order. Raw strings; the same
+# bytes run in Spark (Java regex), DuckDB (RE2), and Python (re).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # phone-like: 9+ chars of digits/space/dash, digit-delimited, optional +
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_<class> int counts and a `redacted` text column.
+
+    Counts reflect the sequential pipeline: each class is counted on the
+    text with all earlier classes already replaced.
+    """
+    cur: Column = F.coalesce(F.col(text_col), F.lit(""))
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return docs.select("doc_id", *counts, cur.alias("redacted"))
+
+
+def py_redact_pii(text: str | None) -> tuple[dict[str, int], str]:
+    """Pure-Python mirror (the property-test oracle)."""
+    cur = text or ""
+    counts: dict[str, int] = {}
+    for name, pat, repl in PII_PATTERNS:
+        counts[name] = len(re.findall(pat, cur))
+        cur = re.sub(pat, repl, cur)
+    return counts, cur
