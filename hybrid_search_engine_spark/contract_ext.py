@@ -1953,6 +1953,71 @@ def _sql_pii_redact():
 
 
 # ---------------------------------------------------------------------------
+# bool_query / near_query: boolean + proximity retrieval
+# (operators/boolquery.py, operators/phrase.py)
+# ---------------------------------------------------------------------------
+# Both contract rows run the INDEX tier (postings-side plan) so the oracle
+# gate covers the inverted-index path; scan-tier equivalence is pinned by
+# unit tests. Terms come from the corpus vocabulary, so the rows are
+# non-vacuous at every sf.
+
+_BOOL_MUST = ["spark", "query"]
+_BOOL_SHOULD = ["window", "fast"]
+_BOOL_NOT = ["slow"]
+_NEAR_A, _NEAR_B, _NEAR_SLOP = "window", "query", 3
+
+_TOKS_ALL_SQL = "regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9_]+')"
+
+
+def _positional_tf(spark, sf_dir):
+    from .operators.phrase import doc_term_positions
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    return doc_term_positions(d)
+
+
+def q_bool_query(spark, sf_dir):
+    from .operators.boolquery import bool_query_indexed
+
+    return bool_query_indexed(
+        _positional_tf(spark, sf_dir),
+        must=_BOOL_MUST, should=_BOOL_SHOULD, must_not=_BOOL_NOT)
+
+
+SQL_BOOL_QUERY = f"""
+WITH t AS (SELECT doc_id, list_distinct({_TOKS_ALL_SQL}) AS toks
+           FROM documents)
+SELECT doc_id,
+       CAST(len(list_intersect(toks, {_BOOL_SHOULD!r})) AS INTEGER)
+         AS n_should
+FROM t
+WHERE {' AND '.join(f"list_contains(toks, '{t}')" for t in _BOOL_MUST)}
+  AND {' AND '.join(f"NOT list_contains(toks, '{t}')" for t in _BOOL_NOT)}
+"""
+
+
+def q_near_query(spark, sf_dir):
+    from .operators.phrase import near_search_indexed
+
+    return near_search_indexed(
+        _positional_tf(spark, sf_dir), _NEAR_A, _NEAR_B, _NEAR_SLOP)
+
+
+SQL_NEAR_QUERY = f"""
+WITH t AS (SELECT doc_id, {_TOKS_ALL_SQL} AS toks FROM documents),
+u AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+      FROM t),
+g AS (SELECT a.doc_id, min(b.pos - a.pos - 1) AS min_gap
+      FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.pos > a.pos
+      WHERE a.tok = '{_NEAR_A}' AND b.tok = '{_NEAR_B}'
+      GROUP BY a.doc_id)
+SELECT doc_id, CAST(min_gap AS INTEGER) AS min_gap
+FROM g WHERE min_gap <= {_NEAR_SLOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1996,6 +2061,8 @@ QUERIES_EXT = {
     "line_dedup": q_line_dedup,
     "phrase_match": q_phrase_match,
     "pii_redact": q_pii_redact,
+    "bool_query": q_bool_query,
+    "near_query": q_near_query,
 }
 
 
@@ -2042,6 +2109,8 @@ def _oracles_ext():
         "line_dedup": _sql_line_dedup(),
         "phrase_match": _sql_phrase_match(),
         "pii_redact": _sql_pii_redact(),
+        "bool_query": SQL_BOOL_QUERY,
+        "near_query": SQL_NEAR_QUERY,
     }
 
 

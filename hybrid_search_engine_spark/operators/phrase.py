@@ -48,6 +48,8 @@ __all__ = [
     "phrase_match_scan",
     "doc_term_positions",
     "phrase_search_indexed",
+    "near_match_scan",
+    "near_search_indexed",
 ]
 
 
@@ -130,6 +132,57 @@ def doc_term_positions(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.sort_array(F.collect_list(F.col("idx") + 1)).alias("positions"))
         .withColumn("tf", F.size("positions"))
+    )
+
+
+def _near_min_gap(pos_a: Column, pos_b: Column) -> Column:
+    """Minimum ordered gap b_pos - a_pos over all (a, b) occurrence pairs
+    with b after a; NULL when b never follows a. Nested array HOFs — the
+    inner `transform` emits each positive gap or NULL, `array_min` ignores
+    NULLs, the outer min folds over a's occurrences."""
+    per_a = F.transform(
+        pos_a,
+        lambda p: F.array_min(
+            F.transform(pos_b, lambda q: F.when(q > p, q - p))
+        ),
+    )
+    return F.array_min(per_a)
+
+
+def near_match_scan(
+    docs: DataFrame, term_a: str, term_b: str, slop: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Ordered NEAR/k: docs where ``term_b`` occurs after ``term_a`` with
+    at most ``slop`` tokens between them (gap = pos_b - pos_a - 1 ≤ slop).
+    Returns (doc_id, min_gap int). Scan tier — shuffle-free JVM HOFs."""
+    toks = tokens_native_keep_order(text_col)
+    base = docs.select("doc_id", toks.alias("toks"))
+    gap = _near_min_gap(
+        token_positions(F.col("toks"), term_a),
+        token_positions(F.col("toks"), term_b),
+    ) - 1
+    return (
+        base.select("doc_id", gap.cast("int").alias("min_gap"))
+        .where(F.col("min_gap").isNotNull() & (F.col("min_gap") <= slop))
+    )
+
+
+def near_search_indexed(
+    positional_tf: DataFrame, term_a: str, term_b: str, slop: int
+) -> DataFrame:
+    """NEAR/k over positional postings: two posting-list fetches, one
+    doc_id equi-join, same min-gap HOF. Cost bounded by the two terms'
+    document frequencies, not the corpus."""
+    a = positional_tf.where(F.col("term") == term_a).select(
+        "doc_id", F.col("positions").alias("pos_a"))
+    b = positional_tf.where(F.col("term") == term_b).select(
+        "doc_id", F.col("positions").alias("pos_b"))
+    gap = _near_min_gap(F.col("pos_a"), F.col("pos_b")) - 1
+    return (
+        a.join(b, "doc_id")
+        .select("doc_id", gap.cast("int").alias("min_gap"))
+        .where(F.col("min_gap").isNotNull() & (F.col("min_gap") <= slop))
     )
 
 
