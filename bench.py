@@ -106,7 +106,11 @@ def main() -> None:
     from hybrid_search_engine_spark import contract_ext
 
     for name in ["minhash_sig", "knn_batch", "knn_ivf", "quality",
-                 "lang_detect", "repetition"]:
+                 "lang_detect", "repetition",
+                 # round-5 additions: fulltext retrieval tiers + PII scrub
+                 # (bool/near build a positional postings table per run —
+                 # the timed number is build + index-tier query)
+                 "phrase_match", "pii_redact", "bool_query", "near_query"]:
         fn = contract_ext.QUERIES_EXT[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).write.format("noop").mode(
             "overwrite").save())
