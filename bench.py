@@ -110,7 +110,8 @@ def main() -> None:
                  # round-5 additions: fulltext retrieval tiers + PII scrub
                  # (bool/near build a positional postings table per run —
                  # the timed number is build + index-tier query)
-                 "phrase_match", "pii_redact", "bool_query", "near_query"]:
+                 "phrase_match", "pii_redact", "bool_query", "near_query",
+                 "lm_score"]:
         fn = contract_ext.QUERIES_EXT[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).write.format("noop").mode(
             "overwrite").save())

@@ -2018,6 +2018,38 @@ FROM g WHERE min_gap <= {_NEAR_SLOP}
 
 
 # ---------------------------------------------------------------------------
+# lm_score: unigram corpus cross-entropy (operators/lm.py)
+# ---------------------------------------------------------------------------
+# Both engines compute p(t)=cf/total over the same corpus and the per-doc
+# mean negative ln-likelihood; ln() agrees to ~1 ulp across Java/DuckDB and
+# the contract's round(6) absorbs summation-order drift (same tolerance
+# discipline as every float aggregate in the contract).
+
+
+def q_lm_score(spark, sf_dir):
+    from .operators.lm import unigram_logprob
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    return unigram_logprob(d)
+
+
+SQL_LM_SCORE = f"""
+WITH t AS (SELECT doc_id, {_TOKS_ALL_SQL} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS cnt FROM e GROUP BY doc_id, term),
+cf AS (SELECT term, CAST(sum(cnt) AS BIGINT) AS cf FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS total_tokens FROM cf)
+SELECT tf.doc_id,
+       CAST(sum(tf.cnt) AS BIGINT) AS n_tokens,
+       round(-sum(tf.cnt * ln(cf.cf / tot.total_tokens)) / sum(tf.cnt), 6)
+         AS avg_nll
+FROM tf JOIN cf USING (term) CROSS JOIN tot
+GROUP BY tf.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2063,6 +2095,7 @@ QUERIES_EXT = {
     "pii_redact": q_pii_redact,
     "bool_query": q_bool_query,
     "near_query": q_near_query,
+    "lm_score": q_lm_score,
 }
 
 
@@ -2111,6 +2144,7 @@ def _oracles_ext():
         "pii_redact": _sql_pii_redact(),
         "bool_query": SQL_BOOL_QUERY,
         "near_query": SQL_NEAR_QUERY,
+        "lm_score": SQL_LM_SCORE,
     }
 
 
