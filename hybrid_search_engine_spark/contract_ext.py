@@ -2050,6 +2050,54 @@ GROUP BY tf.doc_id
 
 
 # ---------------------------------------------------------------------------
+# decontaminate: benchmark n-gram overlap flags (operators/decontaminate.py)
+# ---------------------------------------------------------------------------
+# n=3 against probe strings whose trigrams occur in the driver corpus at
+# both sf (so the row is non-vacuous), plus a 5-token probe (contributes 3
+# trigrams) and a sub-n probe that must contribute nothing.
+
+_DECON_N = 3
+DECON_PROBES = [
+    ("window fast query",),
+    ("slow hash batch",),
+    ("the window fast query plan",),
+    ("tiny",),  # < n tokens: no n-grams, by the papers' convention
+]
+
+
+def q_decontaminate(spark, sf_dir):
+    from .operators.decontaminate import contamination_flags
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    probes = local_df(spark, DECON_PROBES, "probe string")
+    return contamination_flags(d, probes, n=_DECON_N)
+
+
+def _sql_decontaminate():
+    n = _DECON_N
+    probes = " UNION ALL ".join(
+        f"SELECT '{p}' AS probe" for (p,) in DECON_PROBES)
+    grams = (
+        f"unnest(list_apply(range(1, greatest(len(toks)-{n - 1}, 0)+1), "
+        f"i -> array_to_string(list_slice(toks, i, i+{n - 1}), ' ')))"
+    )
+    return f"""
+WITH pt AS (SELECT regexp_extract_all(lower(coalesce(probe,'')),
+                   '[a-z0-9_]+') AS toks FROM ({probes})),
+pg AS (SELECT DISTINCT {grams} AS gram FROM pt),
+dt AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')),
+                   '[a-z0-9_]+') AS toks FROM documents),
+dg AS (SELECT doc_id, {grams} AS gram FROM dt)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(count(DISTINCT gram) AS BIGINT) AS n_probes
+FROM dg JOIN pg USING (gram)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2096,6 +2144,7 @@ QUERIES_EXT = {
     "bool_query": q_bool_query,
     "near_query": q_near_query,
     "lm_score": q_lm_score,
+    "decontaminate": q_decontaminate,
 }
 
 
@@ -2145,6 +2194,7 @@ def _oracles_ext():
         "bool_query": SQL_BOOL_QUERY,
         "near_query": SQL_NEAR_QUERY,
         "lm_score": SQL_LM_SCORE,
+        "decontaminate": _sql_decontaminate(),
     }
 
 
