@@ -144,3 +144,68 @@ def test_contract_query_runs(spark, sf_dir):
     out = q_phrase_match(spark, sf_dir)
     assert out.columns == ["phrase", "doc_id", "n_matches", "first_pos"]
     assert out.count() > 0
+
+
+def test_positional_index_save_load_prunes_and_matches(spark, sf_dir, tmp_path):
+    from hybrid_search_engine_spark.operators.phrase import (
+        PositionalIndex,
+        save_positional_index,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+        .unionByName(_planted_df(spark))
+    )
+    ptf = doc_term_positions(docs)
+    path = str(tmp_path / "pidx")
+    save_positional_index(ptf, path, n_buckets=16)
+    idx = PositionalIndex(spark, path)
+    assert idx.n_buckets == 16
+
+    for p in PHRASES:
+        via_saved = {
+            (r["doc_id"], r["n_matches"], r["first_pos"])
+            for r in idx.phrase(p).collect()
+        }
+        via_direct = {
+            (r["doc_id"], r["n_matches"], r["first_pos"])
+            for r in phrase_search_indexed(ptf, p).collect()
+        }
+        assert via_saved == via_direct, p
+
+    # NEAR and boolean through the same reader
+    from hybrid_search_engine_spark.operators.boolquery import (
+        bool_query_indexed,
+    )
+    from hybrid_search_engine_spark.operators.phrase import (
+        near_search_indexed,
+    )
+
+    assert (
+        {tuple(r) for r in idx.near("window", "query", 3).collect()}
+        == {tuple(r) for r in near_search_indexed(
+            ptf, "window", "query", 3).collect()}
+    )
+    assert (
+        {tuple(r) for r in idx.bool_query(
+            must=["spark"], should=["fast"], must_not=["slow"]).collect()}
+        == {tuple(r) for r in bool_query_indexed(
+            ptf, must=["spark"], should=["fast"],
+            must_not=["slow"]).collect()}
+    )
+
+    # partition pruning is in the plan: the bucket filter appears as a
+    # partition filter on the scan, and the pruned scan reads fewer files
+    pruned = idx._pruned(["window"])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan
+    # the pruned frame equals reading ONLY that term's bucket directory
+    # (inputFiles() can't show pruning — it lists the relation pre-filter)
+    bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit("window")), F.lit(16)).alias("b")
+    ).first()["b"]
+    direct = spark.read.parquet(f"{path}/bucket={bucket}")
+    assert pruned.count() == direct.count() > 0
+    assert pruned.where(F.col("term") == "window").count() == direct.where(
+        F.col("term") == "window").count() > 0
