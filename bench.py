@@ -111,7 +111,7 @@ def main() -> None:
                  # (bool/near build a positional postings table per run —
                  # the timed number is build + index-tier query)
                  "phrase_match", "pii_redact", "bool_query", "near_query",
-                 "lm_score", "decontaminate"]:
+                 "lm_score", "decontaminate", "span_dedup"]:
         fn = contract_ext.QUERIES_EXT[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).write.format("noop").mode(
             "overwrite").save())

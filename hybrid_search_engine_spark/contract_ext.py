@@ -2098,6 +2098,41 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# span_dedup: cross-document verbatim-span duplication (decontaminate.py)
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 5
+
+
+def q_span_dedup(spark, sf_dir):
+    from .operators.decontaminate import shared_span_flags
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    return shared_span_flags(d, n=_SPAN_N)
+
+
+def _sql_span_dedup():
+    n = _SPAN_N
+    grams = (
+        f"unnest(list_apply(range(1, greatest(len(toks)-{n - 1}, 0)+1), "
+        f"i -> array_to_string(list_slice(toks, i, i+{n - 1}), ' ')))"
+    )
+    return f"""
+WITH dt AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')),
+                   '[a-z0-9_]+') AS toks FROM documents),
+dg AS (SELECT doc_id, {grams} AS gram FROM dt),
+gf AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd
+                         FROM dg GROUP BY gram) WHERE nd > 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shared_positions,
+       CAST(count(DISTINCT gram) AS BIGINT) AS n_shared_spans
+FROM dg JOIN gf USING (gram)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2145,6 +2180,7 @@ QUERIES_EXT = {
     "near_query": q_near_query,
     "lm_score": q_lm_score,
     "decontaminate": q_decontaminate,
+    "span_dedup": q_span_dedup,
 }
 
 
@@ -2195,6 +2231,7 @@ def _oracles_ext():
         "near_query": SQL_NEAR_QUERY,
         "lm_score": SQL_LM_SCORE,
         "decontaminate": _sql_decontaminate(),
+        "span_dedup": _sql_span_dedup(),
     }
 
 

@@ -77,3 +77,99 @@ def test_contract_row_nonvacuous(spark, sf_dir):
     out = q_decontaminate(spark, sf_dir)
     assert out.columns == ["doc_id", "n_hits", "n_probes"]
     assert out.count() > 0
+
+
+def test_hashed_tier_agrees_with_string_tier(spark):
+    rng = random.Random(5)
+    vocab = ["a", "b", "c", "d", "e", "ff", "ggg"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+        for i in range(80)
+    ]
+    probes = ["a b c", "ff ggg a", "e e", "c d e a b"]
+    for n in (2, 3):
+        dfd = local_df(spark, docs, "doc_id long, text string")
+        dfp = local_df(spark, [(p,) for p in probes], "probe string")
+        exact = {
+            r["doc_id"]: (r["n_hits"], r["n_probes"])
+            for r in contamination_flags(dfd, dfp, n=n).collect()
+        }
+        hashed = {
+            r["doc_id"]: (r["n_hits"], r["n_probes"])
+            for r in contamination_flags(dfd, dfp, n=n,
+                                         hashed=True).collect()
+        }
+        assert hashed == exact, n
+
+
+def _py_span_flags(doc_rows, n):
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    per_doc = {}
+    for doc_id, text in doc_rows:
+        grams = py_token_ngrams((text or "").lower().split(), n)
+        per_doc[doc_id] = grams
+        for g in grams:
+            gram_docs[g].add(doc_id)
+    shared = {g for g, ds in gram_docs.items() if len(ds) > 1}
+    out = {}
+    for doc_id, grams in per_doc.items():
+        hit = [g for g in grams if g in shared]
+        if hit:
+            out[doc_id] = (len(hit), len(set(hit)))
+    return out
+
+
+def test_span_dedup_hand_values(spark):
+    docs = [
+        (1, "alpha beta gamma delta"),   # shares 'alpha beta gamma' w/ 2
+        (2, "zz alpha beta gamma yy"),
+        (3, "alpha beta qq"),            # bigram-only overlap: no trigram
+        (4, "solo unique content here"),
+        (5, "rr rr rr rr"),              # self-repeats only: NOT shared
+    ]
+    from hybrid_search_engine_spark.operators.decontaminate import (
+        shared_span_flags,
+    )
+
+    df = local_df(spark, docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shared_positions"], r["n_shared_spans"])
+        for r in shared_span_flags(df, n=3).collect()
+    }
+    assert got == _py_span_flags(docs, 3) == {1: (1, 1), 2: (1, 1)}
+    # hashed tier agrees
+    got_h = {
+        r["doc_id"]: (r["n_shared_positions"], r["n_shared_spans"])
+        for r in shared_span_flags(df, n=3, hashed=True).collect()
+    }
+    assert got_h == got
+
+
+def test_span_dedup_property(spark):
+    rng = random.Random(19)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 18))))
+        for i in range(50)
+    ]
+    from hybrid_search_engine_spark.operators.decontaminate import (
+        shared_span_flags,
+    )
+
+    df = local_df(spark, docs, "doc_id long, text string")
+    for n in (2, 4):
+        got = {
+            r["doc_id"]: (r["n_shared_positions"], r["n_shared_spans"])
+            for r in shared_span_flags(df, n=n).collect()
+        }
+        assert got == _py_span_flags(docs, n), n
+
+
+def test_span_dedup_contract_row(spark, sf_dir):
+    from hybrid_search_engine_spark.contract_ext import q_span_dedup
+
+    out = q_span_dedup(spark, sf_dir)
+    assert out.columns == ["doc_id", "n_shared_positions", "n_shared_spans"]
+    assert out.count() > 0
