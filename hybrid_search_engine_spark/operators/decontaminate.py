@@ -40,7 +40,14 @@ def token_ngrams(toks, n: int):
     """Array of space-joined token n-grams (sliding window, step 1).
     Empty array when the doc has fewer than n tokens — guarded explicitly
     because Spark's ``sequence(1, 0)`` yields a DESCENDING [1, 0], not an
-    empty array, and slice(…, 0, n) then throws."""
+    empty array, and slice(…, 0, n) then throws.
+
+    ``toks`` MUST be a bound column (select-projected attribute), not an
+    inline tokenizer expression: the per-position lambda embeds ``toks``
+    in every slice, so an unbound expression re-tokenizes the document
+    once per gram position — O(len²) per doc (the d484e4d pathology;
+    measured 375 s unbound vs 52 s bound at 1M docs/n=8 on this
+    very operator, BENCH/DECON_1M.json)."""
     count = F.size(toks) - F.lit(n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), count),
@@ -60,13 +67,15 @@ def token_ngram_hashes(toks, n: int):
 
     Per-token xxhash64 is computed ONCE (one pass), then each window of n
     folds its hashes with chained ``xxhash64(acc, h)`` — order-sensitive,
-    all-bigint, no string allocation. Measured 1M docs / n=8: the string
-    tier spends its time building ~150M ~60-byte gram strings
-    (slice + array_join per position); this tier replaces that with
-    integer hashing. Collision risk at 64 bits is ~|doc_grams|·|probes|/2^64
-    (≈1e-8 for 10^8 grams × 10^3 probes) — negligible for a FLAG column,
-    and the papers' pipelines hash their n-grams too. The exact-string
-    tier remains the oracle/contract path.
+    all-bigint, no string allocation. Measured 1M docs / n=8 (bound
+    tokens, BENCH/DECON_1M.json): 185 s vs the string tier's 52 s — HOF
+    lambdas evaluate interpreted, so n chained hash calls per window cost
+    MORE CPU than one slice+array_join. Keep the string tier as the
+    default; this tier's value is the ~7.5× smaller gram payload
+    (8-byte bigint vs ~60-byte string) when grams must CROSS A SHUFFLE
+    (span dedup at network-bound scale), not CPU. Collision risk at 64
+    bits is ~|doc_grams|·|probes|/2^64 — negligible for a FLAG column.
+    The exact-string tier remains the oracle/contract path.
     """
     th = F.transform(toks, lambda x: F.xxhash64(x))
     count = F.size(toks) - F.lit(n - 1)
@@ -106,22 +115,18 @@ def contamination_flags(
     is the oracle path.
     """
     gramf = token_ngram_hashes if hashed else token_ngrams
+    # bind the token arrays as projected attributes BEFORE the per-position
+    # gram lambdas (see token_ngrams docstring)
     probe_grams = (
-        probes.select(
-            F.explode(
-                gramf(tokens_native_keep_order("probe"), n)
-            ).alias("gram")
-        )
+        probes.select(tokens_native_keep_order("probe").alias("__toks"))
+        .select(F.explode(gramf(F.col("__toks"), n)).alias("gram"))
         .distinct()
     )
     if broadcast_probes:
         probe_grams = broadcast(probe_grams)
     doc_grams = docs.select(
-        "doc_id",
-        F.explode(
-            gramf(tokens_native_keep_order(text_col), n)
-        ).alias("gram"),
-    )
+        "doc_id", tokens_native_keep_order(text_col).alias("__toks")
+    ).select("doc_id", F.explode(gramf(F.col("__toks"), n)).alias("gram"))
     return (
         doc_grams.join(probe_grams, "gram")
         .groupBy("doc_id")
@@ -158,9 +163,8 @@ def shared_span_flags(
     """
     gramf = token_ngram_hashes if hashed else token_ngrams
     dg = docs.select(
-        "doc_id",
-        F.explode(gramf(tokens_native_keep_order(text_col), n)).alias("gram"),
-    )
+        "doc_id", tokens_native_keep_order(text_col).alias("__toks")
+    ).select("doc_id", F.explode(gramf(F.col("__toks"), n)).alias("gram"))
     gf = (
         dg.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("_nd"))
