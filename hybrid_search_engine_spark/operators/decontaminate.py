@@ -67,28 +67,35 @@ def token_ngram_hashes(toks, n: int):
 
     Per-token xxhash64 is computed ONCE (one pass), then each window of n
     folds its hashes with chained ``xxhash64(acc, h)`` — order-sensitive,
-    all-bigint, no string allocation. Measured 1M docs / n=8 (bound
-    tokens, BENCH/DECON_1M.json): 185 s vs the string tier's 52 s — HOF
-    lambdas evaluate interpreted, so n chained hash calls per window cost
-    MORE CPU than one slice+array_join. Keep the string tier as the
-    default; this tier's value is the ~7.5× smaller gram payload
-    (8-byte bigint vs ~60-byte string) when grams must CROSS A SHUFFLE
-    (span dedup at network-bound scale), not CPU. Collision risk at 64
-    bits is ~|doc_grams|·|probes|/2^64 — negligible for a FLAG column.
-    The exact-string tier remains the oracle/contract path.
+    all-bigint, no string allocation. Measured 1M docs / n=8
+    (BENCH/DECON_1M.json): 51.9 s vs the string tier's 54.2 s — CPU
+    parity — with a ~7.5× smaller gram payload (8-byte bigint vs ~60-byte
+    string) wherever grams cross a shuffle (span dedup at network-bound
+    scale). Collision risk at 64 bits is ~|doc_grams|·|probes|/2^64 —
+    negligible for a FLAG column. The exact-string tier remains the
+    oracle/contract path. NB the inner per-token hash array is bound via
+    a single-element transform; unbound it re-hashed every token per
+    window slice (185 s — the same d484e4d law, one level deeper).
     """
     th = F.transform(toks, lambda x: F.xxhash64(x))
-    count = F.size(toks) - F.lit(n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.aggregate(
-            F.slice(th, i, n),
-            F.lit(0).cast("long"),
-            lambda acc, h: F.xxhash64(acc, h),
-        ),
-    )
-    return F.when(count >= 1, grams).otherwise(
-        F.array().cast("array<long>"))
+
+    # bind th through a single-element transform (analysis.py:354 trick):
+    # inside the lambda `bth` is a variable reference, so the per-token
+    # hashing pass runs ONCE per doc instead of once per window slice
+    def _build(bth):
+        count = F.size(bth) - F.lit(n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.aggregate(
+                F.slice(bth, i, n),
+                F.lit(0).cast("long"),
+                lambda acc, h: F.xxhash64(acc, h),
+            ),
+        )
+        return F.when(count >= 1, grams).otherwise(
+            F.array().cast("array<long>"))
+
+    return F.element_at(F.transform(F.array(th), _build), 1)
 
 
 def contamination_flags(
