@@ -74,18 +74,31 @@ def phrase_starts(toks: Column, terms: list[str]) -> Column:
     start p qualifies iff p ∈ positions(terms[0]) and for every j ≥ 1,
     (p + j) ∈ positions(terms[j]). Overlaps count; repeated terms reuse
     the same positions array.
+
+    The per-term position arrays are bound through a single-element
+    ``transform`` (the analysis.py:354 in-expression bind): inside the
+    qualifier lambda each ``array_contains`` would otherwise embed the
+    whole transform+filter positions subtree and re-derive it per
+    candidate start (the d484e4d re-evaluation law).
     """
     if not terms:
         raise ValueError("empty phrase")
-    pos = {t: token_positions(toks, t) for t in dict.fromkeys(terms)}
+    uniq = list(dict.fromkeys(terms))
+    idx = {t: i + 1 for i, t in enumerate(uniq)}  # element_at is 1-based
+    pos_arr = F.array(*[token_positions(toks, t) for t in uniq])
 
-    def _qualifies(p: Column) -> Column:
-        conds = [
-            F.array_contains(pos[t], p + j) for j, t in enumerate(terms) if j > 0
-        ]
-        return reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
+    def _build(bpos: Column) -> Column:
+        def _qualifies(p: Column) -> Column:
+            conds = [
+                F.array_contains(F.element_at(bpos, idx[t]), p + j)
+                for j, t in enumerate(terms)
+                if j > 0
+            ]
+            return reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
 
-    return F.filter(pos[terms[0]], _qualifies)
+        return F.filter(F.element_at(bpos, idx[terms[0]]), _qualifies)
+
+    return F.element_at(F.transform(F.array(pos_arr), _build), 1)
 
 
 def phrase_match_scan(
@@ -160,9 +173,15 @@ def near_match_scan(
     Returns (doc_id, min_gap int). Scan tier — shuffle-free JVM HOFs."""
     toks = tokens_native_keep_order(text_col)
     base = docs.select("doc_id", toks.alias("toks"))
-    gap = _near_min_gap(
-        token_positions(F.col("toks"), term_a),
-        token_positions(F.col("toks"), term_b),
+    # bind pos_b through a single-element transform: the inner per-q
+    # lambda in _near_min_gap would otherwise re-derive b's positions for
+    # every occurrence of a (d484e4d law)
+    pair = F.array(F.struct(
+        token_positions(F.col("toks"), term_a).alias("pa"),
+        token_positions(F.col("toks"), term_b).alias("pb"),
+    ))
+    gap = F.element_at(
+        F.transform(pair, lambda s: _near_min_gap(s["pa"], s["pb"])), 1
     ) - 1
     return (
         base.select("doc_id", gap.cast("int").alias("min_gap"))
