@@ -2133,6 +2133,57 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# spell_correct: SymSpell deletion-neighborhood corrector (operators/spell.py)
+# ---------------------------------------------------------------------------
+# Spark runs the deletion-neighborhood JOIN (the scale algorithm); the
+# oracle runs the exhaustive cross-product levenshtein — both must land on
+# identical best suggestions under the same deterministic ranking
+# (min distance, max df, term asc). 'zzzzzz' has no vocab term within
+# edit distance 1 and must be absent on both sides — as must 'tabel',
+# whose intended correction 'table' sits at plain-levenshtein distance 2
+# (transposition; this corrector is levenshtein, not Damerau).
+
+_SPELL_QTERMS = ["tabl", "querry", "sparkk", "windoww", "fastt",
+                 "tabel", "zzzzzz"]
+
+
+def q_spell_correct(spark, sf_dir):
+    from .operators.spell import spell_correct
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    from .functions.text import tokens_native_keep_order
+
+    vocab = (
+        d.select("doc_id", tokens_native_keep_order("text").alias("__toks"))
+        .select("doc_id", F.explode("__toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    qs = local_df(spark, [(t,) for t in _SPELL_QTERMS], "qterm string")
+    return spell_correct(vocab, qs, max_edit=1)
+
+
+def _sql_spell_correct():
+    qrows = " UNION ALL ".join(
+        f"SELECT '{t}' AS qterm" for t in _SPELL_QTERMS)
+    return f"""
+WITH e AS (SELECT doc_id, unnest({_TOKS_ALL_SQL}) AS term FROM documents),
+v AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM e GROUP BY term),
+q AS ({qrows}),
+c AS (SELECT q.qterm, v.term, v.df,
+             levenshtein(q.qterm, v.term) AS dist
+      FROM q CROSS JOIN v
+      WHERE levenshtein(q.qterm, v.term) <= 1)
+SELECT qterm, term AS suggestion, CAST(dist AS INTEGER) AS dist, df
+FROM (SELECT *, row_number() OVER (PARTITION BY qterm
+        ORDER BY dist, df DESC, term) AS rn FROM c)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2181,6 +2232,7 @@ QUERIES_EXT = {
     "lm_score": q_lm_score,
     "decontaminate": q_decontaminate,
     "span_dedup": q_span_dedup,
+    "spell_correct": q_spell_correct,
 }
 
 
@@ -2232,6 +2284,7 @@ def _oracles_ext():
         "lm_score": SQL_LM_SCORE,
         "decontaminate": _sql_decontaminate(),
         "span_dedup": _sql_span_dedup(),
+        "spell_correct": _sql_spell_correct(),
     }
 
 
