@@ -645,6 +645,87 @@ def _ordered_ngrams(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+_REP_STATS_UDF = None
+
+
+def _rep_stats_udf():
+    """Arrow-vectorized per-doc repetition stats: token array →
+    [mx1, dup1, mx2, dup2, mx3, dup3] (bigint), where for each n-gram
+    order, mx = count of the most frequent gram and dup = total count of
+    grams occurring ≥ 2 times — the integer numerators the Gopher
+    fractions divide by the (natively computed) gram totals.
+
+    Exact, not approximate: tokens are integer-coded per batch with
+    ``pd.factorize`` (content equality, no hashing collisions) and n-gram
+    keys are positional-base combinations of those codes, so counts equal
+    the string-gram counts bit-for-bit. One numpy pass per batch: gram
+    keys for all rows at once, lexsort by (row, gram), run-length counts,
+    and per-row max / dup via ``reduceat`` — the same vectorized shape as
+    ``script_counts_onepass``/``_rolling_shingle_hashes``."""
+    global _REP_STATS_UDF
+    if _REP_STATS_UDF is not None:
+        return _REP_STATS_UDF
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _stats(s: pd.Series) -> pd.Series:
+        toks = s.tolist()
+        n = len(toks)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        out = np.zeros((n, 6), np.int64)
+        lens = np.fromiter(
+            (0 if t is None else len(t) for t in toks), np.int64, n)
+        total = int(lens.sum())
+        if total:
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks
+                 if t is not None and len(t)])
+            codes, uniq = pd.factorize(flat)
+            codes = codes.astype(np.int64)
+            v = np.int64(len(uniq))
+            starts = np.zeros(n, np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            for k in (1, 2, 3):
+                n_g = np.maximum(lens - (k - 1), 0)
+                tot_g = int(n_g.sum())
+                if tot_g == 0:
+                    continue
+                cum = np.zeros(n, np.int64)
+                np.cumsum(n_g[:-1], out=cum[1:])
+                intra = np.arange(tot_g) - np.repeat(cum, n_g)
+                gi = np.repeat(starts, n_g) + intra
+                key = codes[gi]
+                for j in range(1, k):
+                    # v^3 fits int64 up to v≈2.09M; per-batch vocabularies
+                    # (≤ maxRecordsPerBatch docs) are far below that, but
+                    # guard by re-factorizing the partial key if not
+                    if int(v) ** (j + 1) >= 2 ** 62:
+                        key, ku = pd.factorize(key)
+                        key = key.astype(np.int64) * v + codes[gi + j]
+                    else:
+                        key = key * v + codes[gi + j]
+                grow = np.repeat(np.arange(n), n_g)
+                order = np.lexsort((key, grow))
+                rs, ks = grow[order], key[order]
+                bnd = np.concatenate((
+                    [0],
+                    1 + np.nonzero((rs[1:] != rs[:-1])
+                                   | (ks[1:] != ks[:-1]))[0]))
+                counts = np.diff(np.append(bnd, tot_g))
+                grp_row = rs[bnd]
+                rb = np.concatenate(
+                    ([0], 1 + np.nonzero(grp_row[1:] != grp_row[:-1])[0]))
+                rows_here = grp_row[rb]
+                out[rows_here, 2 * (k - 1)] = np.maximum.reduceat(counts, rb)
+                out[rows_here, 2 * (k - 1) + 1] = np.add.reduceat(
+                    np.where(counts >= 2, counts, 0), rb)
+        return pd.Series(list(out))
+
+    _REP_STATS_UDF = _stats
+    return _stats
+
+
 def repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id"):
     """→ one row per doc: Gopher-style repetition quality signals.
 
@@ -658,65 +739,46 @@ def repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id"):
     MassiveText; public-domain methodology — the reference engine has no
     equivalent, this is part of the training-data-pipeline surface).
 
-    Plan shape: unigrams/bigrams/trigrams are built natively per row,
-    stacked into one struct array, and exploded ONCE; the (doc, n, gram)
-    count and the per-(doc, n) rollup ride the same doc-grain hash
-    partitioning — a single token-grain shuffle, the same shape as the tf
-    build (operators/stats.py), so the 100 TB posture is identical.
-    Docs that tokenize to nothing are restored by a left join with 0.0s.
+    Plan shape (round-6 rewrite, guide §2.4 + §4.2): every output is a
+    PER-DOC statistic, so nothing needs to leave the row. The integer
+    numerators (most-frequent-gram count, duplicated-gram total per n-gram
+    order) come from ONE Arrow-vectorized batch pass (``_rep_stats_udf`` —
+    exact integer-coded gram counting in numpy); the gram totals are plain
+    arithmetic on the token count; the fractions divide and round in Spark
+    with the same expression as before. Zero exchanges, zero joins, one
+    corpus scan, embarrassingly parallel at any scale. The previous shape
+    exploded all uni/bi/trigram rows through a token-grain shuffle plus
+    two more doc-grain exchanges and a join back — 3 Exchanges and ~2
+    corpus scans for a row-local computation (sf1.0 local[32]: 19.6 s
+    old explode shape → 9.8 s native sorted-run-scan → see
+    OPTIMIZATION_r06.md for the final vectorized number).
     """
     from .text import tokens_native_keep_order
 
-    # Bind the token array ONCE as a real column before any per-position
-    # work: the gram builders reference `toks` inside transform lambdas,
-    # and an unbound expression there embeds the whole regexp subtree in
-    # every slice — re-tokenizing the document per gram position
-    # (measured 30-50 s for the sf0.1 table vs ~4 s bound; the Generate
-    # node keeps the child projection's attribute, so a plain select is a
-    # sufficient bind here — no transform()-lambda wrap needed).
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     tokens_native_keep_order(F.col(text_col)).alias("__toks"))
-    toks = F.col("__toks")
-
-    # NB: a two-argument lambda in F.transform means (element, index) —
-    # a `n=n` default would receive the array INDEX, not the closure value.
-    def _tagged(nv: int):
-        return F.transform(
-            _ordered_ngrams(toks, nv),
-            lambda g: F.struct(F.lit(nv).alias("n"), g.alias("gram")))
-
-    stacked = F.flatten(F.array(*[_tagged(n) for n in (1, 2, 3)]))
-    grams = base.select("doc_id", F.explode(stacked).alias("s")
-                        ).select("doc_id", "s.n", "s.gram")
-    per_gram = grams.groupBy("doc_id", "n", "gram").agg(
-        F.count(F.lit(1)).alias("cnt"))
-    per_n = per_gram.groupBy("doc_id", "n").agg(
-        F.max("cnt").alias("mx"),
-        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0))
-              ).alias("dup"),
-        F.sum("cnt").alias("tot"))
-    wide = per_n.groupBy("doc_id").pivot("n", [1, 2, 3]).agg(
-        F.first("mx").alias("mx"), F.first("dup").alias("dup"),
-        F.first("tot").alias("tot"))
-
-    def frac(num, den):
-        return F.when(F.col(den).isNotNull() & (F.col(den) > 0),
-                      F.round(F.col(num) / F.col(den), 6)).otherwise(F.lit(0.0))
-
-    out = wide.select(
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(tokens_native_keep_order(F.col(text_col)),
+                   F.array().cast("array<string>")).alias("__toks"))
+    stats = base.select(
         "doc_id",
-        F.col("1_tot").alias("n_tokens"),
-        frac("1_mx", "1_tot").alias("max_token_frac"),
-        frac("2_mx", "2_tot").alias("top_bigram_frac"),
-        frac("2_dup", "2_tot").alias("dup_bigram_frac"),
-        frac("3_mx", "3_tot").alias("top_trigram_frac"),
-        frac("3_dup", "3_tot").alias("dup_trigram_frac"),
+        F.size("__toks").cast("bigint").alias("__t1"),
+        _rep_stats_udf()(F.col("__toks")).alias("__s"),
     )
-    return (df.select(F.col(id_col).alias("doc_id"))
-            .join(out, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("n_tokens", F.lit(0)).cast("bigint"
-                                                          ).alias("n_tokens"),
-                    *[F.coalesce(c, F.lit(0.0)).alias(c) for c in
-                      ("max_token_frac", "top_bigram_frac", "dup_bigram_frac",
-                       "top_trigram_frac", "dup_trigram_frac")]))
+    t1 = F.col("__t1")
+
+    def tot(k: int) -> Column:  # n-gram count: max(n_tokens - (k-1), 0)
+        return F.when(t1 >= k, t1 - (k - 1)).otherwise(F.lit(0).cast("bigint"))
+
+    def frac(num: Column, den: Column):
+        return F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0))
+
+    s = F.col("__s")
+    return stats.select(
+        "doc_id",
+        t1.alias("n_tokens"),
+        frac(F.element_at(s, 1), t1).alias("max_token_frac"),
+        frac(F.element_at(s, 3), tot(2)).alias("top_bigram_frac"),
+        frac(F.element_at(s, 4), tot(2)).alias("dup_bigram_frac"),
+        frac(F.element_at(s, 5), tot(3)).alias("top_trigram_frac"),
+        frac(F.element_at(s, 6), tot(3)).alias("dup_trigram_frac"),
+    )

@@ -30,6 +30,7 @@ from ..functions.text import tokens_native_keep_order
 __all__ = [
     "token_ngrams",
     "token_ngram_hashes",
+    "exploded_token_ngrams",
     "contamination_flags",
     "shared_span_flags",
     "py_token_ngrams",
@@ -60,6 +61,48 @@ def token_ngrams(toks, n: int):
 def py_token_ngrams(tokens: list[str], n: int) -> list[str]:
     return [" ".join(tokens[i : i + n])
             for i in range(max(len(tokens) - n + 1, 0))]
+
+
+def exploded_token_ngrams(docs: DataFrame, n: int, text_col: str = "text",
+                          hashed: bool = False) -> DataFrame:
+    """→ (doc_id, gram): every token ``n``-gram of every doc, one row per
+    POSITION (multiset semantics, same rows as exploding
+    ``token_ngrams``/``token_ngram_hashes`` — pinned by test).
+
+    Round-6 shape (guide §4.1 "prefer built-ins"/codegen): explode the
+    window START POSITIONS (a cheap int sequence) and build each gram
+    AFTER the explode with ``array_join(slice(toks, i, n))`` — plain
+    projected expressions that stay inside whole-stage codegen. Building
+    the whole gram ARRAY first (``transform(sequence, …)``) is an
+    interpreted higher-order function evaluated per element plus a
+    per-row array materialization — measured 2.7 s vs 1.0 s for the
+    exploded grams of 50k docs / 2.5M grams (sf1.0, local[32]).
+
+    ``hashed=True`` emits the 64-bit chained-xxhash64 window hash instead
+    of the gram string (engine tier — same values as
+    ``token_ngram_hashes``): per-token hashes are computed once per row
+    (bound through the projection), each window folds its slice.
+    """
+    base = docs.select(
+        "doc_id", tokens_native_keep_order(text_col).alias("__toks"))
+    if hashed:
+        base = base.select(
+            "doc_id",
+            F.transform("__toks", lambda x: F.xxhash64(x)).alias("__toks"))
+    cnt = F.size("__toks") - F.lit(n - 1)
+    pos = base.select(
+        "doc_id", "__toks",
+        F.explode(
+            F.when(cnt >= 1, F.sequence(F.lit(1), cnt))
+            .otherwise(F.array().cast("array<int>"))).alias("__i"))
+    if hashed:
+        gram = F.aggregate(
+            F.slice("__toks", F.col("__i"), n),
+            F.lit(0).cast("long"),
+            lambda acc, h: F.xxhash64(acc, h))
+    else:
+        gram = F.array_join(F.slice("__toks", F.col("__i"), n), " ")
+    return pos.select("doc_id", gram.alias("gram"))
 
 
 def token_ngram_hashes(toks, n: int):
@@ -123,7 +166,8 @@ def contamination_flags(
     """
     gramf = token_ngram_hashes if hashed else token_ngrams
     # bind the token arrays as projected attributes BEFORE the per-position
-    # gram lambdas (see token_ngrams docstring)
+    # gram lambdas (see token_ngrams docstring); probe side is tiny so the
+    # array form is fine there
     probe_grams = (
         probes.select(tokens_native_keep_order("probe").alias("__toks"))
         .select(F.explode(gramf(F.col("__toks"), n)).alias("gram"))
@@ -131,9 +175,9 @@ def contamination_flags(
     )
     if broadcast_probes:
         probe_grams = broadcast(probe_grams)
-    doc_grams = docs.select(
-        "doc_id", tokens_native_keep_order(text_col).alias("__toks")
-    ).select("doc_id", F.explode(gramf(F.col("__toks"), n)).alias("gram"))
+    # corpus side: positions-explode + codegen gram build (round-6 — see
+    # exploded_token_ngrams docstring for the measured win)
+    doc_grams = exploded_token_ngrams(docs, n, text_col, hashed=hashed)
     return (
         doc_grams.join(probe_grams, "gram")
         .groupBy("doc_id")
@@ -159,30 +203,45 @@ def shared_span_flags(
     MinHash near-dup (whole-doc similarity) — this catches a quoted
     paragraph inside an otherwise-unique page.
 
-    Plan: doc n-grams → gram document frequencies (ONE token-grain
-    groupBy, map-side combined) → join back to the doc grams → per-doc
-    counts. Two shuffles total, both at gram grain; ``hashed=True`` runs
-    it over 64-bit window hashes (engine tier, see token_ngram_hashes).
+    Plan (round-6 rewrite, guide §2.4): ONE gram-grain exchange instead of
+    two plus a join, and ONE tokenize/gram-build pass instead of two. The
+    exploded grams are hash-repartitioned by ``gram``; because
+    HashPartitioning(gram) satisfies the clustered distribution of every
+    downstream gram-keyed operator, the per-(gram, doc) position count
+    AND the per-gram doc-count window both run shuffle-free on that one
+    exchange (the window replaces a collect_list rollup — a window count
+    stays in codegen where ObjectHashAggregate allocates per-row objects;
+    measured min 3.4 s vs 4.3 s at sf1.0). Rows of shared grams (doc
+    count > 1) then flow into a final doc-grain aggregation (map-side
+    combined). The old shape (dg → groupBy(gram) df → join dg back)
+    evaluated the tokenizer+gram builder TWICE (dg appears in two
+    subtrees) and paid two corpus-sized gram exchanges (sf1.0 local[32]:
+    13.5-20.6 s before → see OPTIMIZATION_r06.md). ``hashed=True`` runs
+    the same plan over 64-bit window hashes (engine tier, see
+    token_ngram_hashes). The gram-grain key is Zipf-skewed in principle;
+    the per-(gram, doc) pre-aggregation bounds any one gram's window
+    partition at ≤ n_docs rows and AQE skew handling stays the safety
+    net for the exchange itself.
 
     Output: (doc_id, n_shared_positions bigint, n_shared_spans bigint) —
     gram POSITIONS in this doc whose gram appears in ≥2 distinct docs,
     and distinct such grams. Docs with no shared span are absent.
     """
-    gramf = token_ngram_hashes if hashed else token_ngrams
-    dg = docs.select(
-        "doc_id", tokens_native_keep_order(text_col).alias("__toks")
-    ).select("doc_id", F.explode(gramf(F.col("__toks"), n)).alias("gram"))
-    gf = (
-        dg.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("_nd"))
-        .where(F.col("_nd") > 1)
-        .select("gram")
+    from pyspark.sql import Window
+
+    dg = exploded_token_ngrams(docs, n, text_col, hashed=hashed)
+    per_gram_doc = (
+        dg.repartition("gram")
+        .groupBy("gram", "doc_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    shared = per_gram_doc.withColumn(
+        "__nd", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    ).where(F.col("__nd") > 1)
     return (
-        dg.join(gf, "gram")
-        .groupBy("doc_id")
+        shared.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_shared_positions"),
-            F.count_distinct("gram").alias("n_shared_spans"),
+            F.sum("cnt").alias("n_shared_positions"),
+            F.count(F.lit(1)).alias("n_shared_spans"),
         )
     )

@@ -173,3 +173,41 @@ def test_span_dedup_contract_row(spark, sf_dir):
     out = q_span_dedup(spark, sf_dir)
     assert out.columns == ["doc_id", "n_shared_positions", "n_shared_spans"]
     assert out.count() > 0
+
+
+def test_exploded_token_ngrams_matches_array_form(spark):
+    """Round-6 positions-explode gram builder == explode(token_ngrams)
+    row multisets, string and hashed tiers (incl. short/empty docs)."""
+    from hybrid_search_engine_spark.operators.decontaminate import (
+        exploded_token_ngrams,
+        token_ngram_hashes,
+        token_ngrams,
+    )
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "cc", "ddd", "ee_e", "f0"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(50)
+    ] + [(100, ""), (101, None), (102, "one"), (103, "two words")]
+    dfd = local_df(spark, docs, "doc_id long, text string")
+    from hybrid_search_engine_spark.functions.text import (
+        tokens_native_keep_order,
+    )
+
+    for n in (2, 3, 5):
+        for hashed in (False, True):
+            gramf = token_ngram_hashes if hashed else token_ngrams
+            old = Counter(
+                (r["doc_id"], r["gram"])
+                for r in dfd.select(
+                    "doc_id",
+                    tokens_native_keep_order("text").alias("__toks"))
+                .select("doc_id",
+                        F.explode(gramf(F.col("__toks"), n)).alias("gram"))
+                .collect())
+            new = Counter(
+                (r["doc_id"], r["gram"])
+                for r in exploded_token_ngrams(dfd, n,
+                                               hashed=hashed).collect())
+            assert new == old, (n, hashed)
