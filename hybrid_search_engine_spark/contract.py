@@ -26,7 +26,6 @@ from pyspark.sql import functions as F
 from .functions.text import (
     WS_CHARS_SQL,
     WS_CLASS_SQL,
-    doc_metadata_cols,
     preprocess_native,
     tokens_native,
     tokens_native_keep_order,
@@ -272,10 +271,12 @@ FROM {DOCS_PLUS_PLANTED_SQL} documents
 # ---------------------------------------------------------------------------
 
 def q_doc_metadata(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    cols = doc_metadata_cols("text")
+    from .functions.text import doc_metadata_df
+
+    d = doc_metadata_df(_docs(spark, sf_dir))
     return d.select(
-        "doc_id", cols[0], cols[1], cols[2], F.round(cols[3], 6).alias("avg_word_length_r")
+        "doc_id", "char_count", "word_count", "unique_words",
+        F.round("avg_word_length", 6).alias("avg_word_length_r")
     )
 
 

@@ -19,7 +19,7 @@ from .localdf import local_df
 from .functions.analysis import (
     LANG_FUNCTION_WORDS,
     content_fingerprint,
-    quality_columns,
+    quality_metrics,
     rolling_prefix_hash,
     token_count_columns,
 )
@@ -572,7 +572,7 @@ def _sql_lang_detect_wide():
 
 
 def q_quality(spark, sf_dir):
-    return _docs(spark, sf_dir).select("doc_id", *quality_columns("text"))
+    return quality_metrics(_docs(spark, sf_dir), "text", keep=("doc_id",))
 
 
 _STOPLIST = "[" + ",".join(f"'{w}'" for w in LANG_FUNCTION_WORDS["en"]) + "]"

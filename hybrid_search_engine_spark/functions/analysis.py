@@ -471,11 +471,22 @@ def detect_language_df(df, text_col: str = "text", key_col: str = "doc_id",
              + [f"__d_{n}" for n in DISTINCTIVE_CHARS])
     out_cols = [col for col in df.columns if col != text_col]
     # the devanagari word-sequence markers are multi-char alternations the
-    # one-pass per-codepoint counter can't express — two extra regex scans
-    base = df.select(*out_cols, F.size(toks).alias("__ntok"),
-                     cnt.alias("__cnt"),
-                     *[F.regexp_count(c, F.lit(pat)).alias(f"__q_{code}")
-                       for code, pat in DISTINCTIVE_SEQS.items()]).select(
+    # one-pass per-codepoint counter can't express — extra regex scans.
+    # Round-6: gate them on the (already computed) devanagari char count —
+    # they can only match devanagari text, and dev_pick is only reachable
+    # when that count is the non-latin argmax (> 0), so returning 0 for
+    # non-devanagari rows is exact and skips full-text regex passes on
+    # ~every row of a latin corpus (measured ~0.95 s of 4.0 s at sf1.0).
+    dev_pos = list(LANG_SCRIPT_RANGES).index("devanagari") + 1
+    s1 = df.select(*out_cols, F.size(toks).alias("__ntok"),
+                   cnt.alias("__cnt"), c.alias("__t"))
+    has_dev = F.element_at(F.col("__cnt"), dev_pos) > 0
+    base = s1.select(
+        *out_cols, "__ntok", "__cnt",
+        *[F.when(has_dev,
+                 F.regexp_count(F.col("__t"), F.lit(pat)))
+          .otherwise(F.lit(0)).alias(f"__q_{code}")
+          for code, pat in DISTINCTIVE_SEQS.items()]).select(
         *out_cols, "__ntok",
         *[f"__q_{code}" for code in DISTINCTIVE_SEQS],
         *[F.element_at(F.col("__cnt"), i + 1).alias(nm)
@@ -529,45 +540,81 @@ def detect_language_df(df, text_col: str = "text", key_col: str = "doc_id",
                          out.alias(out_col))
 
 
-def quality_columns(text_col) -> list[Column]:
-    """Web-text quality gates as columns: char/token counts, mean word
-    length, stopword ratio, non-alnum ratio, uniqueness, digit ratio,
-    plus a composite is_quality flag."""
-    c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col,
-                   F.lit(""))
-    toks = tokens_native(c, remove_stopwords=False)
-    n_tok = F.size(toks)
-    n_char = F.length(c)
-    alnum = F.length(F.regexp_replace(c, r"[^A-Za-z0-9]", ""))
-    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
-    stop_ratio = _hit_ratio(toks, sorted(STOPWORDS))
-    uniq_ratio = F.when(n_tok > 0,
-                        F.size(F.array_distinct(toks)).cast("double") / n_tok
-                        ).otherwise(F.lit(0.0))
-    mean_wlen = F.when(
-        n_tok > 0,
-        F.aggregate(toks, F.lit(0.0).cast("double"),
-                    lambda a, t: a + F.length(t)) / n_tok,
-    ).otherwise(F.lit(0.0))
-    non_alnum_ratio = F.when(n_char > 0,
-                             1.0 - alnum.cast("double") / n_char
-                             ).otherwise(F.lit(1.0))
-    digit_ratio = F.when(n_char > 0, digits.cast("double") / n_char
-                         ).otherwise(F.lit(0.0))
-    is_quality = (
-        (n_tok >= 10) & (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
-        & (stop_ratio >= 0.03) & (uniq_ratio >= 0.2)
-        & (non_alnum_ratio <= 0.6) & (digit_ratio <= 0.3)
+def quality_metrics(df, text_col: str = "text",
+                    keep: tuple = ("doc_id",)):
+    """Web-text quality gates: char/token counts, mean word length,
+    stopword ratio, non-alnum ratio, uniqueness, digit ratio, plus a
+    composite is_quality flag — appended to the ``keep`` columns.
+
+    Round-6 shape (guide §7.2 "duplicated subtrees"): a DataFrame-level
+    two-stage bind instead of one wide Column list. The old single-select
+    form re-evaluated the tokenizer and every ratio subtree per output
+    column that referenced it — ``is_quality`` alone embeds all six
+    metrics, roughly DOUBLING the whole projection (HOF subtrees are
+    interpreted, outside codegen subexpression elimination; measured
+    8.2 s → ~3 s at sf1.0, local[32]). Here the token array is bound as a
+    projected attribute, each unrounded metric is computed EXACTLY ONCE
+    in a middle projection (CollapseProject keeps the stages separate
+    because the producers are non-cheap and multiply referenced), and the
+    final projection only rounds and combines bound attributes. The
+    alnum/digit counts use ``regexp_count`` of the positive class —
+    the same value as length(regexp_replace(negative class)) without
+    allocating the stripped string (measured 1.56 s vs 2.24 s for the
+    pair of counts)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    keep = list(keep)
+    stage1 = df.select(*keep, c.alias("__t"),
+                       tokens_native(c, remove_stopwords=False).alias("__tk"))
+    tk, t = F.col("__tk"), F.col("__t")
+    n_tok = F.size(tk)
+    n_char = F.length(t)
+    stage2 = stage1.select(
+        *keep,
+        n_char.alias("__n_char"),
+        n_tok.alias("__n_tok"),
+        F.regexp_count(t, F.lit(r"[A-Za-z0-9]")).alias("__alnum"),
+        F.regexp_count(t, F.lit(r"[0-9]")).alias("__digits"),
+        _hit_ratio(tk, sorted(STOPWORDS)).alias("__stop_ratio"),
+        F.when(n_tok > 0,
+               F.size(F.array_distinct(tk)).cast("double") / n_tok
+               ).otherwise(F.lit(0.0)).alias("__uniq_ratio"),
+        F.when(
+            n_tok > 0,
+            F.aggregate(tk, F.lit(0.0).cast("double"),
+                        lambda a, x: a + F.length(x)) / n_tok,
+        ).otherwise(F.lit(0.0)).alias("__mean_wlen"),
     )
-    return [
-        n_char.alias("n_chars"), n_tok.alias("n_tokens"),
+    nc = F.col("__n_char")
+    non_alnum_ratio = F.when(
+        nc > 0, 1.0 - F.col("__alnum").cast("double") / nc
+    ).otherwise(F.lit(1.0))
+    digit_ratio = F.when(nc > 0, F.col("__digits").cast("double") / nc
+                         ).otherwise(F.lit(0.0))
+    stage3 = stage2.select(
+        *keep, "__n_char", "__n_tok", "__stop_ratio", "__uniq_ratio",
+        "__mean_wlen",
+        non_alnum_ratio.alias("__non_alnum_ratio"),
+        digit_ratio.alias("__digit_ratio"),
+    )
+    mean_wlen, stop_ratio = F.col("__mean_wlen"), F.col("__stop_ratio")
+    uniq_ratio = F.col("__uniq_ratio")
+    nar, dr = F.col("__non_alnum_ratio"), F.col("__digit_ratio")
+    is_quality = (
+        (F.col("__n_tok") >= 10) & (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+        & (stop_ratio >= 0.03) & (uniq_ratio >= 0.2)
+        & (nar <= 0.6) & (dr <= 0.3)
+    )
+    return stage3.select(
+        *keep,
+        F.col("__n_char").alias("n_chars"),
+        F.col("__n_tok").alias("n_tokens"),
         F.round(mean_wlen, 6).alias("mean_word_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(uniq_ratio, 6).alias("unique_ratio"),
-        F.round(non_alnum_ratio, 6).alias("non_alnum_ratio"),
-        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(nar, 6).alias("non_alnum_ratio"),
+        F.round(dr, 6).alias("digit_ratio"),
         is_quality.alias("is_quality"),
-    ]
+    )
 
 
 def token_count_columns(text_col) -> list[Column]:

@@ -168,6 +168,31 @@ def doc_metadata_cols(text_col: str = "text") -> list[Column]:
     ]
 
 
+def doc_metadata_df(df, text_col: str = "text", keep: tuple = ("doc_id",)):
+    """``keep`` + the four doc_metadata columns, with the token array
+    BOUND as a projected attribute first (round 6, guide §7.2): the
+    Column-list form re-runs the tokenizer regexp once per output column
+    that references it (word_count, unique_words, avg_word_length —
+    measured 1.8 s vs 0.9 s over 50k docs at sf1.0). Same output as
+    ``df.select(*keep, *doc_metadata_cols(text_col))``."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    s1 = df.select(*keep, c.alias("__t"),
+                   tokens_native(F.col(text_col)).alias("__tk"))
+    tk = F.col("__tk")
+    n_tok = F.size(tk)
+    return s1.select(
+        *keep,
+        F.length(F.col("__t")).alias("char_count"),
+        n_tok.alias("word_count"),
+        F.size(F.array_distinct(tk)).alias("unique_words"),
+        F.when(n_tok > 0,
+               F.aggregate(tk, F.lit(0).cast("double"),
+                           lambda acc, x: acc + F.length(x)) / n_tok)
+        .otherwise(F.lit(0.0))
+        .alias("avg_word_length"),
+    )
+
+
 def tokenize_documents(df, text_col: str = "text", id_col: str = "doc_id",
                        remove_stopwords: bool = True, parity: bool = False):
     """→ DataFrame(doc_id, tokens). `parity=True` forces the pandas UDF."""

@@ -72,33 +72,32 @@ def phrase_starts(toks: Column, terms: list[str]) -> Column:
     """Array of 1-based start positions where ``terms`` occur contiguously.
 
     start p qualifies iff p ∈ positions(terms[0]) and for every j ≥ 1,
-    (p + j) ∈ positions(terms[j]). Overlaps count; repeated terms reuse
-    the same positions array.
+    token[p + j] == terms[j]. Overlaps count; repeated terms need no
+    special casing.
 
-    The per-term position arrays are bound through a single-element
-    ``transform`` (the analysis.py:354 in-expression bind): inside the
-    qualifier lambda each ``array_contains`` would otherwise embed the
-    whole transform+filter positions subtree and re-derive it per
-    candidate start (the d484e4d re-evaluation law).
+    Round 6 (guide §1.2 per-task work): only the LEAD term pays a
+    positions pass; each candidate start is then checked with direct
+    ``element_at(toks, p + j) == term`` lookups — O(1) per phrase slot —
+    instead of materializing a positions array per unique term and
+    scanning it with ``array_contains`` (O(term frequency) per check).
+    ``try_element_at`` past the array end yields NULL (plain element_at
+    THROWS under ANSI mode, the Spark 4 default), NULL == term is NULL,
+    and ``filter`` drops non-true rows — the same outcome as the old
+    positions-membership test. ``toks`` must be a BOUND column (projected
+    attribute): it is referenced per candidate start (d484e4d law).
     """
     if not terms:
         raise ValueError("empty phrase")
-    uniq = list(dict.fromkeys(terms))
-    idx = {t: i + 1 for i, t in enumerate(uniq)}  # element_at is 1-based
-    pos_arr = F.array(*[token_positions(toks, t) for t in uniq])
 
-    def _build(bpos: Column) -> Column:
-        def _qualifies(p: Column) -> Column:
-            conds = [
-                F.array_contains(F.element_at(bpos, idx[t]), p + j)
-                for j, t in enumerate(terms)
-                if j > 0
-            ]
-            return reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
+    def _qualifies(p: Column) -> Column:
+        conds = [
+            F.try_element_at(toks, (p + j).cast("int")) == F.lit(t)
+            for j, t in enumerate(terms)
+            if j > 0
+        ]
+        return reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
 
-        return F.filter(F.element_at(bpos, idx[terms[0]]), _qualifies)
-
-    return F.element_at(F.transform(F.array(pos_arr), _build), 1)
+    return F.filter(token_positions(toks, terms[0]), _qualifies)
 
 
 def phrase_match_scan(
@@ -189,19 +188,41 @@ def near_match_scan(
     )
 
 
+def _term_positions_wide(positional_tf: DataFrame, terms: list[str]
+                         ) -> DataFrame:
+    """ONE pass over the postings: filter to ``terms``, then a single
+    groupBy(doc_id) gathers each term's positions array into its own
+    column (``pos_0``…; NULL when the doc lacks the term).
+
+    Round 6 (guide §2.4): the previous per-term filter + k-way doc_id
+    join referenced ``positional_tf`` once per distinct term, so when the
+    postings are an unmaterialized plan (the contract rows build
+    ``doc_term_positions`` inline) the whole tokenize → posexplode
+    subtree executed k times. ``first(when(term==t, positions))`` is
+    exact here because (doc_id, term) is unique in a postings table."""
+    sel = positional_tf.where(F.col("term").isin(terms)).select(
+        "doc_id", "term", "positions")
+    return sel.groupBy("doc_id").agg(*[
+        F.first(F.when(F.col("term") == t, F.col("positions")),
+                ignorenulls=True).alias(f"pos_{k}")
+        for k, t in enumerate(terms)
+    ])
+
+
 def near_search_indexed(
     positional_tf: DataFrame, term_a: str, term_b: str, slop: int
 ) -> DataFrame:
-    """NEAR/k over positional postings: two posting-list fetches, one
-    doc_id equi-join, same min-gap HOF. Cost bounded by the two terms'
-    document frequencies, not the corpus."""
-    a = positional_tf.where(F.col("term") == term_a).select(
-        "doc_id", F.col("positions").alias("pos_a"))
-    b = positional_tf.where(F.col("term") == term_b).select(
-        "doc_id", F.col("positions").alias("pos_b"))
-    gap = _near_min_gap(F.col("pos_a"), F.col("pos_b")) - 1
+    """NEAR/k over positional postings: the two posting lists are
+    gathered in ONE postings pass (``_term_positions_wide``), then the
+    same min-gap HOF. Cost bounded by the two terms' document
+    frequencies, not the corpus."""
+    uniq = list(dict.fromkeys([term_a, term_b]))
+    wide = _term_positions_wide(positional_tf, uniq)
+    ca = F.col("pos_0")
+    cb = F.col(f"pos_{uniq.index(term_b)}")
+    gap = _near_min_gap(ca, cb) - 1
     return (
-        a.join(b, "doc_id")
+        wide.where(ca.isNotNull() & cb.isNotNull())
         .select("doc_id", gap.cast("int").alias("min_gap"))
         .where(F.col("min_gap").isNotNull() & (F.col("min_gap") <= slop))
     )
@@ -220,13 +241,13 @@ def phrase_search_indexed(positional_tf: DataFrame, phrase: str) -> DataFrame:
     if not terms:
         raise ValueError("empty phrase")
     uniq = list(dict.fromkeys(terms))
-    joined: DataFrame | None = None
-    for k, t in enumerate(uniq):
-        side = positional_tf.where(F.col("term") == t).select(
-            "doc_id", F.col("positions").alias(f"pos_{k}")
-        )
-        joined = side if joined is None else joined.join(side, "doc_id")
+    # one postings pass for all terms (round 6 — see _term_positions_wide)
+    # instead of a per-term filter + (k-1)-way doc_id join
+    joined = _term_positions_wide(positional_tf, uniq)
     colof = {t: f"pos_{k}" for k, t in enumerate(uniq)}
+    joined = joined.where(reduce(
+        lambda a, b: a & b,
+        [F.col(f"pos_{k}").isNotNull() for k in range(len(uniq))]))
 
     def _qualifies(p: Column) -> Column:
         conds = [

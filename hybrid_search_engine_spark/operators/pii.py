@@ -41,18 +41,51 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+# cheap literal prerequisite: a string without this substring cannot match
+# the pattern (the literal is mandatory in it), so one memchr-style
+# contains() scan can skip the full regex pass. Only the email pattern
+# carries a gate: it is the expensive one (two unbounded classes around
+# '@' — measured 1.1 s count + 1.2 s replace over 50k docs at sf1.0 vs
+# ~0.27 s per digit pattern) and '@' is rare in prose; the digit
+# patterns' mandatory literals ('-', '.') appear in almost every document,
+# so a gate there is pure overhead.
+_PII_REQUIRED_CHAR = {"email": "@"}
+
+
 def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds n_<class> int counts and a `redacted` text column.
 
     Counts reflect the sequential pipeline: each class is counted on the
     text with all earlier classes already replaced.
+
+    Round-6 shape: each stage's text state is BOUND as a projected
+    attribute in a select chain (mirroring the oracle's staged CTEs)
+    instead of nesting replace expressions — a count referencing stage k
+    otherwise embeds k nested regexp_replace trees whose sharing is left
+    to codegen subexpression elimination (guide §7.2 duplicated
+    subtrees); and the email stage is gated on ``contains('@')`` (exact:
+    '@' is mandatory in the pattern), turning the common no-email row
+    into a substring scan instead of the priciest regex pass.
     """
-    cur: Column = F.coalesce(F.col(text_col), F.lit(""))
-    counts = []
+    out = docs.select(
+        "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("__c"))
+    names = []
     for name, pat, repl in PII_PATTERNS:
-        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
-        cur = F.regexp_replace(cur, pat, repl)
-    return docs.select("doc_id", *counts, cur.alias("redacted"))
+        cur = F.col("__c")
+        cnt = F.regexp_count(cur, F.lit(pat))
+        rep = F.regexp_replace(cur, pat, repl)
+        req = _PII_REQUIRED_CHAR.get(name)
+        if req is not None:
+            has = cur.contains(req)
+            cnt = F.when(has, cnt).otherwise(F.lit(0))
+            rep = F.when(has, rep).otherwise(cur)
+        out = out.select(
+            "doc_id", *[f"n_{n}" for n in names],
+            cnt.alias(f"n_{name}"), rep.alias("__c"))
+        names.append(name)
+    return out.select(
+        "doc_id", *[f"n_{n}" for n in names],
+        F.col("__c").alias("redacted"))
 
 
 def py_redact_pii(text: str | None) -> tuple[dict[str, int], str]:

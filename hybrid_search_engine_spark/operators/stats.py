@@ -61,10 +61,21 @@ def term_frequencies(docs: DataFrame, text_col: str = "text",
         )
     from ..reference_semantics import STOPWORDS
 
-    exploded = docs.select(
-        F.col(id_col).alias("doc_id"),
+    # Round 6 (guide §2.3 "shuffle keys and metadata instead of
+    # payloads" / the same shape as term_frequencies_with_doclen):
+    # repartition the RAW DOCS by doc_id FIRST. HashPartitioning(doc_id)
+    # satisfies the aggregation's ClusteredDistribution(doc_id, term), so
+    # the exchange moves ~input-sized doc rows and the explode + final
+    # aggregation run shuffle-free on top — no token-grain partial-agg
+    # rows are ever serialized (measured 1.74 s → 0.48 s for the sf1.0
+    # contract row at local[32]; AQE coalesces the REPARTITION_BY_COL
+    # output so the width adapts to data size).
+    part = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(text_col).alias("__text")).repartition("doc_id")
+    exploded = part.select(
+        "doc_id",
         F.explode(F.regexp_extract_all(
-            F.lower(F.col(text_col)), F.lit(r"[a-z0-9_]+"), 0)).alias("term"),
+            F.lower(F.col("__text")), F.lit(r"[a-z0-9_]+"), 0)).alias("term"),
     )
     if remove_stopwords:
         exploded = exploded.where(~F.col("term").isin(sorted(STOPWORDS)))

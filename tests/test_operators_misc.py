@@ -236,14 +236,15 @@ def test_detect_language_subtier_tails(spark):
 
 
 def test_quality_columns(spark):
-    from hybrid_search_engine_spark.functions.analysis import quality_columns
+    from hybrid_search_engine_spark.functions.analysis import quality_metrics
 
     df = spark.createDataFrame([
         ("good", "The quick brown fox jumps over the lazy dog near the river bank today."),
         ("junk", "!!! ??? ### $$$ %%%"),
         ("empty", ""),
     ], "id string, text string")
-    rows = {r["id"]: r for r in df.select("id", *quality_columns("text")).collect()}
+    rows = {r["id"]: r for r in quality_metrics(df, "text",
+                                                keep=("id",)).collect()}
     assert rows["good"]["is_quality"]
     assert not rows["junk"]["is_quality"]
     assert not rows["empty"]["is_quality"]
