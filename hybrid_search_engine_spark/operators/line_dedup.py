@@ -19,12 +19,21 @@ Plan shape (the 100 TB posture):
 Two shuffles, both ≈ corpus text size with partial aggregation on the
 first — the same volume class as the tf build (operators/stats.py). The
 line-frequency key is the line text itself; the boilerplate head (the
-whole point of the pass) is Zipf-like, but the skew lands in the COUNT
-aggregate where map-side partial aggregation flattens it before the
-exchange, so no salting is needed — the post-agg table is (line, count)
-with one row per distinct line. Lines are compared EXACTLY (no
-normalization): callers wanting whitespace-insensitive matching
-normalize first (functions/text.py preprocess tiers).
+whole point of the pass) is Zipf-like. Skew lands in two places with
+different mitigations: the COUNT aggregate flattens it with map-side
+partial aggregation before its exchange (post-agg table is one row per
+distinct line), while the join BACK keys the exploded line rows on that
+same hot line text — there a line present in most documents is a genuine
+hot join key, and the operator RELIES on AQE's skew-join splitting
+(spark.sql.adaptive.skewJoin, on in the session defaults) to split that
+partition at runtime; the frequency side is 1 row per line, so the
+split's duplication cost is nil. No salting is built in — add a salt to
+the join key only if running with AQE disabled. (A window-over-line
+variant was measured SLOWER at sf1.0 — 3.9 s vs 1.9-2.7 s, round 6 —
+and a window partition cannot be skew-split at all, so the join form
+stands.) Lines are compared EXACTLY (no normalization): callers wanting
+whitespace-insensitive matching normalize first (functions/text.py
+preprocess tiers).
 """
 
 from __future__ import annotations

@@ -139,6 +139,14 @@ def doc_term_positions(docs: DataFrame, text_col: str = "text") -> DataFrame:
     consumers (adjacency checks, gap encoding) can rely on monotonicity.
     ``tf`` comes free as ``size(positions)``, so a positional index
     subsumes the frequency index.
+
+    Round-6 note: a repartition(doc_id)-first variant (the
+    term_frequencies shape) was measured BOTH ways before being rejected
+    — 3.0-4.5 s → 0.87 s at 50k docs (fixed overhead) but 85-94 s →
+    100-158 s at 1M docs (interleaved A/B): the raw-doc exchange plus a
+    single-phase ObjectHashAggregate over position lists loses to the
+    two-phase partial agg once the per-task aggregation map is real, and
+    query-tier plans filter terms before the aggregation anyway.
     """
     toks = tokens_native_keep_order(text_col)
     return (
@@ -200,6 +208,11 @@ def _term_positions_wide(positional_tf: DataFrame, terms: list[str]
     ``doc_term_positions`` inline) the whole tokenize → posexplode
     subtree executed k times. ``first(when(term==t, positions))`` is
     exact here because (doc_id, term) is unique in a postings table."""
+    if len(terms) == 1:
+        # single distinct term (e.g. the phrase "a a"): the posting list
+        # IS the wide row — no gather aggregation, zero shuffle
+        return positional_tf.where(F.col("term") == terms[0]).select(
+            "doc_id", F.col("positions").alias("pos_0"))
     sel = positional_tf.where(F.col("term").isin(terms)).select(
         "doc_id", "term", "positions")
     return sel.groupBy("doc_id").agg(*[
@@ -249,20 +262,32 @@ def phrase_search_indexed(positional_tf: DataFrame, phrase: str) -> DataFrame:
         lambda a, b: a & b,
         [F.col(f"pos_{k}").isNotNull() for k in range(len(uniq))]))
 
-    def _qualifies(p: Column) -> Column:
-        conds = [
-            F.array_contains(F.col(colof[t]), p + j)
-            for j, t in enumerate(terms)
-            if j > 0
-        ]
-        return reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
+    # starts = pos(t0) ∩ (pos(t1) − 1) ∩ … ∩ (pos(tk) − k): p is a match
+    # start iff token[p+j] == terms[j] for all j, i.e. p ∈ pos(t_j) − j.
+    # array_intersect is hash-based — O(Σ|pos|) per doc TOTAL — where the
+    # old per-candidate array_contains scan was O(|pos(t0)|·Σ|pos|): the
+    # round-6 fix for the Zipf-head phrase worst case ("a a": every
+    # posting of the corpus head on both sides — BENCH/PHRASE_1M.json).
+    # Position lists are distinct+sorted, and array_intersect keeps the
+    # first array's order/dedup, so the result is the same sorted start
+    # set the filter form produced.
+    def _shift(col: Column, j: int) -> Column:
+        # NB closure, not a default arg: a 2-parameter lambda in
+        # F.transform means (element, index)
+        if j == 0:
+            return col
+        return F.transform(col, lambda x: x - F.lit(j))
 
-    starts = F.filter(F.col(colof[terms[0]]), _qualifies)
+    shifted = [_shift(F.col(colof[t]), j) for j, t in enumerate(terms)]
+    starts = reduce(F.array_intersect, shifted)
     return (
-        joined.select(
+        # bind starts once: size() and array_min() would otherwise each
+        # re-run the whole intersect chain (d484e4d law)
+        joined.select("doc_id", starts.alias("__starts"))
+        .select(
             "doc_id",
-            F.size(starts).alias("n_matches"),
-            F.array_min(starts).alias("first_pos"),
+            F.size("__starts").alias("n_matches"),
+            F.array_min("__starts").alias("first_pos"),
         )
         .where(F.col("n_matches") > 0)
     )
@@ -310,20 +335,26 @@ class PositionalIndex:
         self._df = spark.read.parquet(path)
         meta_rows = spark.read.json(path.rstrip("/") + ".meta").collect()
         self.n_buckets = _json.loads(meta_rows[0]["meta"])["n_buckets"]
+        self._bucket_cache: dict[str, int] = {}
 
     def _pruned(self, terms: list[str]) -> DataFrame:
         """Postings restricted to ``terms``' buckets — the bucket values
         are literals, so the filter prunes partitions at plan time. The
         1-row job computing them is Spark's own xxhash64 (a Python
-        reimplementation could drift); its cost is a local-relation
-        projection, no scan."""
-        row = self._df.sparkSession.range(1).select(
-            F.array(*[
-                F.pmod(F.xxhash64(F.lit(t)), F.lit(self.n_buckets))
-                for t in terms
-            ]).alias("bs")
-        ).first()
-        buckets = sorted(set(row["bs"]))
+        reimplementation could drift); term→bucket is memoized per reader
+        (round 6) so a served query only pays the driver round-trip for
+        terms it has never seen — repeat queries plan with zero jobs."""
+        missing = [t for t in dict.fromkeys(terms)
+                   if t not in self._bucket_cache]
+        if missing:
+            row = self._df.sparkSession.range(1).select(
+                F.array(*[
+                    F.pmod(F.xxhash64(F.lit(t)), F.lit(self.n_buckets))
+                    for t in missing
+                ]).alias("bs")
+            ).first()
+            self._bucket_cache.update(zip(missing, row["bs"]))
+        buckets = sorted({self._bucket_cache[t] for t in terms})
         return self._df.where(F.col("bucket").isin(buckets)).drop("bucket")
 
     def phrase(self, phrase: str) -> DataFrame:

@@ -32,6 +32,17 @@ __all__ = ["PII_PATTERNS", "redact_pii", "py_redact_pii"]
 
 # (name, pattern, replacement) in redaction order. Raw strings; the same
 # bytes run in Spark (Java regex), DuckDB (RE2), and Python (re).
+#
+# The phone pattern is deliberately RECALL-FIRST: any 9+-char run of
+# digits/spaces/dashes bounded by digits matches, which also catches
+# ISBNs, order numbers and numeric date ranges. That is the standard
+# trade for a training-data scrubber — an over-redacted identifier-shaped
+# number costs a little text, a leaked phone number costs privacy — and
+# it runs LAST so the more specific detectors (SSN, IPv4) have already
+# consumed their spans. Tightening it (e.g. requiring 2-4 digit grouping)
+# would cut false positives at the cost of missing unusually formatted
+# real numbers; callers needing precision-first behavior should swap the
+# pattern, not reorder the pipeline.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
