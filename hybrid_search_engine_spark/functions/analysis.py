@@ -540,6 +540,72 @@ def detect_language_df(df, text_col: str = "text", key_col: str = "doc_id",
                          out.alias(out_col))
 
 
+_QUALITY_INTS_UDF = None
+
+
+def _quality_ints_udf():
+    """Arrow-vectorized integer numerators for the quality gates:
+    (text, tokens) → [n_alnum, n_digit, n_stop, n_uniq, sum_tok_len]
+    (bigint). EXACT counts — ASCII class membership over codepoints,
+    stopword set membership, per-row distinct tokens via factorize +
+    boundary counting, token-length sums via reduceat — so the ratio /
+    rounding arithmetic downstream (which stays in Spark, bit-identical
+    to the expression form) cannot drift. Replaces two regexp_count
+    passes and three interpreted array HOFs (filter/isin,
+    array_distinct, aggregate) with one batch pass (guide §4.2)."""
+    global _QUALITY_INTS_UDF
+    if _QUALITY_INTS_UDF is not None:
+        return _QUALITY_INTS_UDF
+    from pyspark.sql.types import ArrayType, LongType
+
+    stop_set = frozenset(STOPWORDS)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _ints(text: pd.Series, toks: pd.Series) -> pd.Series:
+        n = len(text)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        out = np.zeros((n, 5), np.int64)
+        # chars: one codepoint pass for the two ASCII classes
+        vals = text.fillna("").tolist()
+        enc = [v.encode("utf-32-le") for v in vals]
+        clens = np.fromiter((len(b) >> 2 for b in enc), np.int64, n)
+        if clens.sum():
+            cps = np.frombuffer(b"".join(enc), np.uint32)
+            row = np.repeat(np.arange(n), clens)
+            digit = (cps >= 48) & (cps <= 57)
+            alpha = ((cps >= 65) & (cps <= 90)) | ((cps >= 97)
+                                                   & (cps <= 122))
+            np.add.at(out[:, 0], row, (digit | alpha).astype(np.int64))
+            np.add.at(out[:, 1], row, digit.astype(np.int64))
+        # tokens: membership / distinct / length sums
+        tl = toks.tolist()
+        lens = np.fromiter(
+            (0 if t is None else len(t) for t in tl), np.int64, n)
+        if lens.sum():
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in tl
+                 if t is not None and len(t)])
+            trow = np.repeat(np.arange(n), lens)
+            is_stop = np.fromiter((x in stop_set for x in flat),
+                                  bool, flat.size)
+            np.add.at(out[:, 2], trow, is_stop.astype(np.int64))
+            codes, _ = pd.factorize(flat)
+            order = np.lexsort((codes, trow))
+            rs, cs = trow[order], codes[order]
+            newgrp = np.empty(flat.size, bool)
+            newgrp[0] = True
+            newgrp[1:] = (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])
+            np.add.at(out[:, 3], rs[newgrp], 1)
+            tok_len = np.fromiter((len(x) for x in flat),
+                                  np.int64, flat.size)
+            np.add.at(out[:, 4], trow, tok_len)
+        return pd.Series(list(out))
+
+    _QUALITY_INTS_UDF = _ints
+    return _ints
+
+
 def quality_metrics(df, text_col: str = "text",
                     keep: tuple = ("doc_id",)):
     """Web-text quality gates: char/token counts, mean word length,
@@ -556,11 +622,14 @@ def quality_metrics(df, text_col: str = "text",
     projected attribute, each unrounded metric is computed EXACTLY ONCE
     in a middle projection (CollapseProject keeps the stages separate
     because the producers are non-cheap and multiply referenced), and the
-    final projection only rounds and combines bound attributes. The
-    alnum/digit counts use ``regexp_count`` of the positive class —
-    the same value as length(regexp_replace(negative class)) without
-    allocating the stripped string (measured 1.56 s vs 2.24 s for the
-    pair of counts)."""
+    final projection only rounds and combines bound attributes. All five
+    INTEGER numerators (alnum/digit char counts, stopword hits, distinct
+    tokens, token-length sum) come from one Arrow-vectorized batch pass
+    (``_quality_ints_udf`` — exact counts; measured vs the native
+    expression chain: two regexp_count passes 1.56 s + three interpreted
+    HOFs ~0.8 s each collapse into a single UDF evaluation), while every
+    ratio/round stays in Spark with the identical expression shape, so
+    output values are bit-identical to the pure-Column form."""
     c = F.coalesce(F.col(text_col), F.lit(""))
     keep = list(keep)
     stage1 = df.select(*keep, c.alias("__t"),
@@ -572,29 +641,29 @@ def quality_metrics(df, text_col: str = "text",
         *keep,
         n_char.alias("__n_char"),
         n_tok.alias("__n_tok"),
-        F.regexp_count(t, F.lit(r"[A-Za-z0-9]")).alias("__alnum"),
-        F.regexp_count(t, F.lit(r"[0-9]")).alias("__digits"),
-        _hit_ratio(tk, sorted(STOPWORDS)).alias("__stop_ratio"),
-        F.when(n_tok > 0,
-               F.size(F.array_distinct(tk)).cast("double") / n_tok
-               ).otherwise(F.lit(0.0)).alias("__uniq_ratio"),
-        F.when(
-            n_tok > 0,
-            F.aggregate(tk, F.lit(0.0).cast("double"),
-                        lambda a, x: a + F.length(x)) / n_tok,
-        ).otherwise(F.lit(0.0)).alias("__mean_wlen"),
+        _quality_ints_udf()(t, tk).alias("__ints"),
     )
-    nc = F.col("__n_char")
-    non_alnum_ratio = F.when(
-        nc > 0, 1.0 - F.col("__alnum").cast("double") / nc
-    ).otherwise(F.lit(1.0))
-    digit_ratio = F.when(nc > 0, F.col("__digits").cast("double") / nc
-                         ).otherwise(F.lit(0.0))
+    ints = F.col("__ints")
+    nc, nt = F.col("__n_char"), F.col("__n_tok")
+    alnum, digits = F.element_at(ints, 1), F.element_at(ints, 2)
+    n_stop, n_uniq = F.element_at(ints, 3), F.element_at(ints, 4)
+    sum_len = F.element_at(ints, 5)
+    # the ratio/round arithmetic below is the SAME expression shape the
+    # pure-Column form used (int numerator cast to double / int count),
+    # so values are bit-identical; only the integer numerators moved into
+    # the vectorized batch pass
     stage3 = stage2.select(
-        *keep, "__n_char", "__n_tok", "__stop_ratio", "__uniq_ratio",
-        "__mean_wlen",
-        non_alnum_ratio.alias("__non_alnum_ratio"),
-        digit_ratio.alias("__digit_ratio"),
+        *keep, "__n_char", "__n_tok",
+        F.when(nt > 0, n_stop.cast("double") / nt)
+        .otherwise(F.lit(0.0)).alias("__stop_ratio"),
+        F.when(nt > 0, n_uniq.cast("double") / nt)
+        .otherwise(F.lit(0.0)).alias("__uniq_ratio"),
+        F.when(nt > 0, sum_len.cast("double") / nt)
+        .otherwise(F.lit(0.0)).alias("__mean_wlen"),
+        F.when(nc > 0, 1.0 - alnum.cast("double") / nc)
+        .otherwise(F.lit(1.0)).alias("__non_alnum_ratio"),
+        F.when(nc > 0, digits.cast("double") / nc)
+        .otherwise(F.lit(0.0)).alias("__digit_ratio"),
     )
     mean_wlen, stop_ratio = F.col("__mean_wlen"), F.col("__stop_ratio")
     uniq_ratio = F.col("__uniq_ratio")

@@ -23,6 +23,17 @@ tiers are proven equivalent by tests/test_boolquery.py.
 Semantics: a document matches iff it contains every MUST term, no
 MUST_NOT term, and (when `should` is non-empty and `min_should` > 0) at
 least `min_should` SHOULD terms. Output: (doc_id, n_should int).
+
+KNOWN TIER DIVERGENCE (documented per round-5 advice, pinned by
+tests/test_boolquery.py::test_should_only_min_should_zero_divergence):
+for a should-only query with ``min_should=0`` the scan tier returns
+EVERY document (n_should may be 0 — "no minimum" taken literally), while
+the index tier can only enumerate documents containing at least one
+query term and therefore omits zero-hit docs. An inverted index
+fundamentally cannot produce the complement set; callers who want
+match-all semantics must use the scan tier or set ``min_should >= 1``
+(which makes the tiers identical — the equivalence tests cover every
+such combination).
 """
 
 from __future__ import annotations

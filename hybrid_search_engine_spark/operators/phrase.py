@@ -107,6 +107,11 @@ def phrase_match_scan(
     document containing each phrase at least once. One corpus scan for ALL
     phrases (the per-phrase matchers are stacked into a single inline'd
     struct array), all-JVM, shuffle-free."""
+    if not phrases:
+        # an empty list would build explode(array()) and fail later with
+        # an opaque Catalyst error on the struct-field access (round-5
+        # advice) — fail fast instead, matching phrase_starts' term guard
+        raise ValueError("no phrases")
     toks = tokens_native_keep_order(text_col)
     base = docs.select("doc_id", toks.alias("toks"))
     per_phrase = F.array(

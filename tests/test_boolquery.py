@@ -139,3 +139,36 @@ def test_contract_rows_nonvacuous(spark, sf_dir):
     nq = q_near_query(spark, sf_dir)
     assert nq.columns == ["doc_id", "min_gap"]
     assert nq.count() > 0
+
+
+def test_should_only_min_should_zero_divergence(spark):
+    """Pins the DOCUMENTED tier divergence (round-5 advice): should-only
+    with min_should=0 — scan tier returns every doc (zero-hit docs
+    included with n_should=0), index tier only docs containing >=1 query
+    term; with min_should=1 the tiers coincide."""
+    from hybrid_search_engine_spark.localdf import local_df
+    from hybrid_search_engine_spark.operators.boolquery import (
+        bool_query_indexed,
+        bool_query_scan,
+    )
+    from hybrid_search_engine_spark.operators.phrase import (
+        doc_term_positions,
+    )
+
+    docs = local_df(spark, [(1, "x y z"), (2, "a b"), (3, "q")],
+                    "doc_id long, text string")
+    tf = doc_term_positions(docs)
+    scan = {(r["doc_id"], r["n_should"]) for r in
+            bool_query_scan(docs, should=["x", "b"]).collect()}
+    idx = {(r["doc_id"], r["n_should"]) for r in
+           bool_query_indexed(tf, should=["x", "b"]).collect()}
+    assert scan == {(1, 1), (2, 1), (3, 0)}      # every doc
+    assert idx == {(1, 1), (2, 1)}               # only term-hit docs
+    # min_should >= 1: identical
+    scan1 = {(r["doc_id"], r["n_should"]) for r in
+             bool_query_scan(docs, should=["x", "b"],
+                             min_should=1).collect()}
+    idx1 = {(r["doc_id"], r["n_should"]) for r in
+            bool_query_indexed(tf, should=["x", "b"],
+                               min_should=1).collect()}
+    assert scan1 == idx1 == {(1, 1), (2, 1)}

@@ -605,3 +605,41 @@ def test_deterministic_sample_nested_and_stable(spark):
 
     with _pt.raises(ValueError):
         deterministic_sample(docs, 1.5)
+
+
+def test_quality_ints_udf_matches_native_exprs(spark):
+    """Round-6 vectorized quality numerators == the native expression
+    chain they replaced, exactly (ints), incl. unicode/empty/null text."""
+    from hybrid_search_engine_spark.functions.analysis import (
+        _quality_ints_udf,
+    )
+    from hybrid_search_engine_spark.functions.text import tokens_native
+    from hybrid_search_engine_spark.localdf import local_df
+    from hybrid_search_engine_spark.reference_semantics import STOPWORDS
+
+    rows = [
+        (1, "The quick brown fox and the lazy dog 123 %%%"),
+        (2, ""),
+        (3, None),
+        (4, "a a a b2 b2 ccc"),
+        (5, "ünïcode téxt ☃ with 99 digits 00"),
+        (6, "the and of to in is it"),
+    ]
+    df = local_df(spark, rows, "doc_id long, text string")
+    c = F.coalesce(F.col("text"), F.lit(""))
+    s1 = df.select("doc_id", c.alias("__t"),
+                   tokens_native(c, remove_stopwords=False).alias("__tk"))
+    tk, t = F.col("__tk"), F.col("__t")
+    native = s1.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(r"[A-Za-z0-9]")).cast("long").alias("a"),
+        F.regexp_count(t, F.lit(r"[0-9]")).cast("long").alias("d"),
+        F.size(F.filter(tk, lambda x: x.isin(*sorted(STOPWORDS))))
+        .cast("long").alias("s"),
+        F.size(F.array_distinct(tk)).cast("long").alias("u"),
+        F.aggregate(tk, F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.length(x)).alias("l"))
+    got = s1.select("doc_id", _quality_ints_udf()(t, tk).alias("i"))
+    a = {r["doc_id"]: tuple(r)[1:] for r in native.collect()}
+    b = {r["doc_id"]: tuple(r["i"]) for r in got.collect()}
+    assert a == b

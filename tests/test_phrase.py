@@ -209,3 +209,12 @@ def test_positional_index_save_load_prunes_and_matches(spark, sf_dir, tmp_path):
     assert pruned.count() == direct.count() > 0
     assert pruned.where(F.col("term") == "window").count() == direct.where(
         F.col("term") == "window").count() > 0
+
+
+def test_phrase_match_scan_empty_list_raises(spark):
+    from hybrid_search_engine_spark.localdf import local_df
+    from hybrid_search_engine_spark.operators.phrase import phrase_match_scan
+
+    docs = local_df(spark, [(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no phrases"):
+        phrase_match_scan(docs, [])
