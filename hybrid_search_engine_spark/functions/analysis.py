@@ -19,7 +19,6 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..localdf import local_df
 from ..reference_semantics import STOPWORDS
 from .text import NONWS_CLASS, tokens_native
 
@@ -430,46 +429,112 @@ def detect_language(text_col) -> Column:
     return F.element_at(F.transform(packed, pick), 1)
 
 
-def lang_word_table(spark):
-    """(word, lang, lang_idx) rows for every function word — the broadcast
-    side of detect_language_df. lang_idx encodes dict order (tie-break)."""
-    rows = []
-    for idx, (lang, ws) in enumerate(LANG_FUNCTION_WORDS.items()):
-        for w in sorted(set(ws)):
-            rows.append((w, lang, idx))
-    return local_df(spark, rows, "word string, lang string, lang_idx int")
+_LANG_HITS_UDF = None
+
+
+def _lang_hits_udf():
+    """Arrow-vectorized latin tier: token array → [best_cnt, best_idx]
+    (bigint) where best_cnt is the highest per-language function-word hit
+    COUNT in the row and best_idx the 0-based LANG_FUNCTION_WORDS dict
+    index attaining it (earliest wins ties — np.argmax returns the first
+    maximum over dict-ordered columns, the same tie-break as the join
+    form's max(struct(cnt, pri, lang)) and the Column form's
+    array_position). Exact integer counts; the 0.02 ratio floor and the
+    language-string lookup stay in Spark.
+
+    One batch pass: factorize tokens, look up each DISTINCT token's
+    language list once (vocab-sized python loop), expand to (row, lang)
+    pairs, np.add.at histogram. Replaces the explode → broadcast join →
+    two groupBys → join-back subplan (~1.5 s warm at sf1.0, plus its two
+    exchanges) with a row-local projection."""
+    global _LANG_HITS_UDF
+    if _LANG_HITS_UDF is not None:
+        return _LANG_HITS_UDF
+    from pyspark.sql.types import ArrayType, LongType
+
+    word2langs: dict[str, np.ndarray] = {}
+    for idx, ws in enumerate(LANG_FUNCTION_WORDS.values()):
+        for w in set(ws):
+            word2langs.setdefault(w, []).append(idx)
+    word2langs = {w: np.asarray(ls, np.int64)
+                  for w, ls in word2langs.items()}
+    n_langs = len(LANG_FUNCTION_WORDS)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _hits(toks: pd.Series) -> pd.Series:
+        tl = toks.tolist()
+        n = len(tl)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        out = np.zeros((n, 2), np.int64)
+        lens = np.fromiter(
+            (0 if t is None else len(t) for t in tl), np.int64, n)
+        if lens.sum():
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in tl
+                 if t is not None and len(t)])
+            trow = np.repeat(np.arange(n), lens)
+            codes, uniq = pd.factorize(flat)
+            lut = [word2langs.get(u) for u in uniq]
+            nh = np.fromiter(
+                (0 if l is None else l.size for l in lut),
+                np.int64, len(uniq))
+            code_off = np.zeros(len(uniq), np.int64)
+            np.cumsum(nh[:-1], out=code_off[1:])
+            lang_flat = (np.concatenate([l for l in lut if l is not None])
+                         if nh.sum() else np.zeros(0, np.int64))
+            occ_h = nh[codes]
+            total = int(occ_h.sum())
+            if total:
+                cum = np.zeros(occ_h.size, np.int64)
+                np.cumsum(occ_h[:-1], out=cum[1:])
+                intra = np.arange(total) - np.repeat(cum, occ_h)
+                pair_lang = lang_flat[
+                    np.repeat(code_off[codes], occ_h) + intra]
+                pair_row = np.repeat(trow, occ_h)
+                counts = np.zeros((n, n_langs), np.int64)
+                np.add.at(counts, (pair_row, pair_lang), 1)
+                best_idx = np.argmax(counts, axis=1)
+                out[:, 0] = counts[np.arange(n), best_idx]
+                out[:, 1] = best_idx
+        return pd.Series(list(out))
+
+    _LANG_HITS_UDF = _hits
+    return _hits
 
 
 def detect_language_df(df, text_col: str = "text", key_col: str = "doc_id",
                        out_col: str = "lang_detected"):
     """Scale form of :func:`detect_language`: identical output (tested for
-    equivalence), different plan. The latin tier becomes
-    explode(tokens) ⋈ broadcast(word table) → count → argmax instead of 31
-    per-language set-membership passes per row — measured 6× faster at 21
-    languages on sf0.1 and the gap grows with language count, because per
-    token it does ONE hash-join probe instead of 21 set probes. Script
-    counts stay per-row native expressions (0.95 s / 5k docs — not the
-    bottleneck). Costs one key-grain shuffle (the hit-count groupBy +
-    join); rows per key after the join ≈ languages-with-hits ≈ 2-4, so the
-    shuffle is tiny relative to the text. ``key_col`` must be unique.
+    equivalence), different plan — and since round 6 a fully ROW-LOCAL
+    one: script counts come from one vectorized codepoint pass
+    (``script_counts_onepass``) and the latin tier's per-language hit
+    argmax from one vectorized token pass (``_lang_hits_udf``), both
+    batched into a single ArrowEvalPython node. Zero exchanges, zero
+    joins, one corpus scan — the previous shape exploded every token
+    through a broadcast join, two groupBys and a join back (~1.5 s warm
+    of the ~4 s row at sf1.0, plus two exchanges; before round 5 the
+    Column form's 31 per-row set-membership passes were 6× slower still).
+    ``key_col`` is kept for API compatibility (no longer used to join).
 
-    Returns ``df`` minus ``text_col`` plus ``out_col`` — the text column
-    is projected away BEFORE the key-grain hits join, so the shuffled left
-    side is (keys + a few fixed-width ints), never corpus text; re-join on
-    ``key_col`` if the caller needs the text back. Reference semantics
-    model: language.py:66-138 (same two-tier rule as the Column form)."""
-    spark = df.sparkSession
+    Returns ``df`` minus ``text_col`` plus ``out_col``. Reference
+    semantics model: language.py:66-138 (same two-tier rule as the Column
+    form; equivalence pinned by tests)."""
     c = F.coalesce(F.col(text_col), F.lit(""))
-    toks = lang_tokens(c)
     script_names = list(LANG_SCRIPT_RANGES)
-    # all 31 char-class counts in ONE vectorized codepoint pass (4.2×
-    # faster than 31 regexp_count scans; identical values — see
-    # script_counts_onepass). The Column form keeps the pure-regex
-    # expressions; the equivalence test pins the two forms together.
-    cnt = script_counts_onepass()(c)
     names = ([f"__c_{n}" for n in LANG_SCRIPT_RANGES]
              + [f"__d_{n}" for n in DISTINCTIVE_CHARS])
     out_cols = [col for col in df.columns if col != text_col]
+    lang_lit = F.array(*[F.lit(l) for l in LANG_FUNCTION_WORDS])
+    # bind the token array, then evaluate BOTH batch UDFs in one
+    # projection (independent pandas UDFs in the same select share one
+    # ArrowEvalPython node — one worker round trip)
+    s0 = df.select(*out_cols, c.alias("__t"),
+                   lang_tokens(c).alias("__ltk"))
+    s1 = s0.select(*out_cols, "__t",
+                   F.size("__ltk").alias("__ntok"),
+                   script_counts_onepass()(F.col("__t")).alias("__cnt"),
+                   _lang_hits_udf()(F.col("__ltk")).alias("__lat"))
     # the devanagari word-sequence markers are multi-char alternations the
     # one-pass per-codepoint counter can't express — extra regex scans.
     # Round-6: gate them on the (already computed) devanagari char count —
@@ -478,32 +543,15 @@ def detect_language_df(df, text_col: str = "text", key_col: str = "doc_id",
     # non-devanagari rows is exact and skips full-text regex passes on
     # ~every row of a latin corpus (measured ~0.95 s of 4.0 s at sf1.0).
     dev_pos = list(LANG_SCRIPT_RANGES).index("devanagari") + 1
-    s1 = df.select(*out_cols, F.size(toks).alias("__ntok"),
-                   cnt.alias("__cnt"), c.alias("__t"))
     has_dev = F.element_at(F.col("__cnt"), dev_pos) > 0
-    base = s1.select(
-        *out_cols, "__ntok", "__cnt",
+    joined = s1.select(
+        *out_cols, "__ntok", "__lat",
         *[F.when(has_dev,
                  F.regexp_count(F.col("__t"), F.lit(pat)))
           .otherwise(F.lit(0)).alias(f"__q_{code}")
-          for code, pat in DISTINCTIVE_SEQS.items()]).select(
-        *out_cols, "__ntok",
-        *[f"__q_{code}" for code in DISTINCTIVE_SEQS],
+          for code, pat in DISTINCTIVE_SEQS.items()],
         *[F.element_at(F.col("__cnt"), i + 1).alias(nm)
           for i, nm in enumerate(names)])
-
-    ex = df.select(F.col(key_col).alias("__key"), F.explode(toks).alias("word"))
-    # pri = inverted dict index so that max(struct(cnt, pri, lang)) picks
-    # the highest count and, on ties, the EARLIEST dict entry — the same
-    # tie-break as array_position in the Column form
-    wt = F.broadcast(lang_word_table(spark).withColumn(
-        "pri", F.lit(10_000) - F.col("lang_idx")))
-    hits = (
-        ex.join(wt, "word")
-        .groupBy("__key", "lang", "pri").agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("__key").agg(F.max(F.struct("cnt", "pri", "lang")).alias("__best"))
-    )
-    joined = base.join(hits, base[key_col] == hits["__key"], "left")
 
     nonlatin = F.array(*[F.col(f"__c_{n}") for n in script_names[1:]])
     nl_max = F.array_max(nonlatin)
@@ -531,13 +579,18 @@ def detect_language_df(df, text_col: str = "text", key_col: str = "doc_id",
                    .when(script0 == "ar", ar_pick)
                    .when(script0 == "hi", dev_pick)
                    .otherwise(script0))
-    ratio = F.col("__best.cnt").cast("double") / F.col("__ntok")
+    best_cnt = F.element_at(F.col("__lat"), 1)
+    ratio = best_cnt.cast("double") / F.col("__ntok")
+    # best_cnt == 0 replaces the join form's NULL-best (no hit rows):
+    # both mean "no function word matched", and the 0.02 floor already
+    # maps a zero ratio to 'und', so the branches coincide
     latin_pick = F.when(
-        F.col("__best").isNull() | (F.col("__ntok") == 0)
-        | (ratio <= F.lit(0.02)), F.lit("und")).otherwise(F.col("__best.lang"))
+        (best_cnt == 0) | (F.col("__ntok") == 0)
+        | (ratio <= F.lit(0.02)), F.lit("und")).otherwise(
+        F.element_at(lang_lit,
+                     (F.element_at(F.col("__lat"), 2) + 1).cast("int")))
     out = F.when(nl_max > F.col("__c_latin"), script_pick).otherwise(latin_pick)
-    return joined.select(*[base[cname] for cname in out_cols],
-                         out.alias(out_col))
+    return joined.select(*out_cols, out.alias(out_col))
 
 
 _QUALITY_INTS_UDF = None
