@@ -422,7 +422,13 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 def q_events_json(spark, sf_dir):
-    e = load_table(spark, sf_dir, "events")
+    from .sources.registry import spread
+
+    # the JSON parse is the heavy map work and the events parquet arrives
+    # as only a few row-group splits — widen before parsing (no-op at
+    # real scale; measured 2.54 -> 1.04 s at sf1.0, guide §2.5 input
+    # parallelism)
+    e = spread(load_table(spark, sf_dir, "events"))
     k = F.get_json_object("props", "$.k").cast("int")
     return (
         e.select("event_type", k.alias("k"))

@@ -20,6 +20,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..reference_semantics import STOPWORDS
+from ..sources.registry import spread
 from .text import NONWS_CLASS, tokens_native
 
 # Function-word lists for the latin-script language-ID heuristic. English
@@ -520,6 +521,9 @@ def detect_language_df(df, text_col: str = "text", key_col: str = "doc_id",
     Returns ``df`` minus ``text_col`` plus ``out_col``. Reference
     semantics model: language.py:66-138 (same two-tier rule as the Column
     form; equivalence pinned by tests)."""
+    # row-local since round 6: widen a narrow scan first (no-op at real
+    # scale; measured 1.82 -> 0.83 s at sf1.0 on the 2-split parquet)
+    df = spread(df)
     c = F.coalesce(F.col(text_col), F.lit(""))
     script_names = list(LANG_SCRIPT_RANGES)
     names = ([f"__c_{n}" for n in LANG_SCRIPT_RANGES]
@@ -683,6 +687,11 @@ def quality_metrics(df, text_col: str = "text",
     HOFs ~0.8 s each collapse into a single UDF evaluation), while every
     ratio/round stays in Spark with the identical expression shape, so
     output values are bit-identical to the pure-Column form."""
+    # widen a narrow scan first: the whole operator is row-local (no
+    # exchange of its own to spread the work) — no-op at real scale
+    # (see sources.registry.spread; measured 1.76 -> 0.71 s at sf1.0,
+    # whose documents.parquet arrives as 2 row-group splits)
+    df = spread(df)
     c = F.coalesce(F.col(text_col), F.lit(""))
     keep = list(keep)
     stage1 = df.select(*keep, c.alias("__t"),
@@ -924,6 +933,9 @@ def repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id"):
     """
     from .text import tokens_native_keep_order
 
+    # row-local operator: widen a narrow scan first (no-op at real scale;
+    # measured 1.79 -> 0.61 s at sf1.0 on the 2-split driver parquet)
+    df = spread(df)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.coalesce(tokens_native_keep_order(F.col(text_col)),

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_native
+from ..sources.registry import spread
 
 __all__ = ["bool_query_scan", "bool_query_indexed"]
 
@@ -64,7 +65,9 @@ def bool_query_scan(
 ) -> DataFrame:
     _validate(must, should, must_not)
     toks = F.array_distinct(tokens_native(text_col))
-    base = docs.select("doc_id", toks.alias("toks"))
+    # scan tier is shuffle-free: widen a narrow scan first (no-op at
+    # real scale — see sources.registry.spread)
+    base = spread(docs).select("doc_id", toks.alias("toks"))
     cond = F.lit(True)
     for t in must:
         cond = cond & F.array_contains("toks", t)

@@ -132,6 +132,106 @@ def char_shingles(col, k: int = 3):
     return shingles_of(norm_content(col), k)
 
 
+_MD5_SIG_UDFS: dict = {}
+
+
+def _md5_minhash_udf(num_perm: int, k: int):
+    """Arrow-vectorized md5 MinHash: text → array<string>[num_perm] of
+    8-hex-char slices — BIT-IDENTICAL to the explode + md5 + min plan it
+    replaces (pinned by test + the DuckDB oracle row).
+
+    The round-6 observation: min over the shingle multiset equals min
+    over the shingle SET, and a real corpus has FAR fewer distinct
+    character k-grams than k-gram positions (50k driver docs: ~thousands
+    of distinct trigrams vs 15M positions). So each batch unique-codes
+    its shingles (np.unique over packed codepoint keys for k ≤ 3; exact),
+    computes ONE salted md5 per DISTINCT shingle per salt group — a
+    ~10⁴× cut in digests here — and takes per-row minima of the mapped
+    digest slices with minimum.reduceat. String min over fixed-width
+    lowercase hex == numeric min over the big-endian uint32 slice, so
+    minima are computed numerically and formatted back with '%08x'."""
+    key = (num_perm, k)
+    if key in _MD5_SIG_UDFS:
+        return _MD5_SIG_UDFS[key]
+    import hashlib
+
+    from pyspark.sql.types import ArrayType, StringType
+
+    n_groups = -(-num_perm // 4)
+    salts = [f"{g}:".encode() for g in range(n_groups)]
+
+    def _digest_u32(shingle_utf8: bytes) -> np.ndarray:
+        # 4 big-endian uint32 slices per salt group, matching
+        # substring(hex, (i%4)*8+1, 8) of md5(salt || shingle)
+        return np.frombuffer(
+            b"".join(hashlib.md5(s + shingle_utf8).digest()
+                     for s in salts), ">u4").astype(np.uint32)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def sig_udf(s: pd.Series) -> pd.Series:
+        # normalization parity with norm_content(): lower + python-ws
+        # strip (the same 29-codepoint set — see _rolling_shingle_hashes)
+        vals = s.fillna("").str.lower().str.strip().tolist()
+        n = len(vals)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        mins = np.full((n, n_groups * 4), np.uint32(0xFFFFFFFF),
+                       np.uint32)
+        enc = [v.encode("utf-32-le") for v in vals]
+        lens = np.fromiter((len(b) >> 2 for b in enc), np.int64, n)
+        long_rows = np.nonzero(lens >= k)[0]
+        if long_rows.size and k <= 3:
+            cps = np.frombuffer(
+                b"".join(enc[r] for r in long_rows), np.uint32)
+            ll = lens[long_rows]
+            starts = np.zeros(ll.size, np.int64)
+            np.cumsum(ll[:-1], out=starts[1:])
+            n_sh = ll - (k - 1)
+            off = np.zeros(ll.size, np.int64)
+            np.cumsum(n_sh[:-1], out=off[1:])
+            total = int(n_sh.sum())
+            intra = np.arange(total) - np.repeat(off, n_sh)
+            gi = np.repeat(starts, n_sh) + intra
+            keys = cps[gi].astype(np.uint64)
+            for j in range(1, k):  # pack codepoints (< 2^21) exactly
+                keys = (keys << np.uint64(21)) | cps[gi + j]
+            uniq, inv = np.unique(keys, return_inverse=True)
+            udig = np.empty((uniq.size, n_groups * 4), np.uint32)
+            shifts = [np.uint64(21 * (k - 1 - j)) for j in range(k)]
+            mask = np.uint64((1 << 21) - 1)
+            for u_i, u in enumerate(uniq):
+                sh = "".join(chr(int((u >> sh_) & mask)) for sh_ in shifts)
+                udig[u_i] = _digest_u32(sh.encode("utf-8"))
+            vals_per_pos = udig[inv]
+            row_min = np.minimum.reduceat(vals_per_pos, off, axis=0)
+            mins[long_rows] = row_min
+        elif long_rows.size:  # generic k fallback: python windows, still
+            for r in long_rows:  # one digest set per DISTINCT shingle
+                v = vals[r]
+                seen: dict = {}
+                m = np.full(n_groups * 4, np.uint32(0xFFFFFFFF),
+                            np.uint32)
+                for i0 in range(len(v) - k + 1):
+                    sh = v[i0:i0 + k]
+                    d = seen.get(sh)
+                    if d is None:
+                        d = seen[sh] = _digest_u32(sh.encode("utf-8"))
+                    np.minimum(m, d, out=m)
+                mins[r] = m
+        for r in np.nonzero(lens < k)[0]:
+            # substr clamps: a doc shorter than k yields the whole
+            # (possibly empty) string as its single shingle
+            mins[r] = _digest_u32(vals[r].encode("utf-8"))
+        # i-th permutation = slice i%4 of group i//4 — in udig/mins the
+        # layout is [g0s0..g0s3, g1s0..] so index i is already i
+        out = [["%08x" % int(mins[r, i]) for i in range(num_perm)]
+               for r in range(n)]
+        return pd.Series(out)
+
+    _MD5_SIG_UDFS[key] = sig_udf
+    return sig_udf
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_perm: int = 16,
                        shingle_k: int = 3) -> DataFrame:
@@ -144,49 +244,19 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     four permutations share each md5 call — 4× fewer digests than the
     naive min(md5(i ':' shingle)) per i, with the same estimator family
     (the statistical-agreement test in test_dedup.py pins it against both
-    the xxhash64 tier and exact Jaccard). Two more deliberate choices:
+    the xxhash64 tier and exact Jaccard).
 
-    - shingles come from exploding window POSITIONS and slicing with a
-      plain ``substr`` column (whole-stage codegen), not an interpreted
-      array HOF — measured ~2× on the sf0.1 contract row;
-    - no distinct pass: min over the multiset equals min over the set.
-
-    min stays algebraic → map-side combine bounds the shuffle at
-    (docs × num_perm) regardless of shingle count. Fixed-width lowercase
-    hex means string min == numeric min.
-
-    ``spread`` matters HERE and (measured) nowhere else among the per-doc
-    operators: min over a var-length string has no mutable fixed-size
-    aggregation buffer, so Spark plans a SortAggregate — on a single-split
-    input the partial sort+agg of every shingle row serializes on one core
-    (2.1× on the sf0.1 contract row). Hash-agg and join-form operators
-    parallelize via their own exchanges and only pay for the extra one."""
+    Round 6: evaluated per row by ``_md5_minhash_udf`` — one digest per
+    DISTINCT shingle per batch instead of one per POSITION (min over the
+    multiset == min over the set), zero explode, zero shuffle, zero
+    sort-aggregate; bit-identical output pinned by test and by the
+    ``minhash_sig`` oracle row (measured 4.2-4.7 s → see
+    OPTIMIZATION_r06.md, sf1.0 local[32]; the old explode + SortAggregate
+    plan, including its ``spread`` note, is in git history)."""
     docs = spread(docs)
-    c = norm_content(F.col(text_col))
-    n_groups = -(-num_perm // 4)
-    # positions 1..max(n-k+1, 1): substr clamps, so a doc shorter than k
-    # yields the whole string as its single shingle (char_shingles parity)
-    pos = docs.select(
-        F.col(id_col).alias("doc_id"),
-        c.alias("t"),
-        F.explode(F.sequence(
-            F.lit(1),
-            F.greatest(F.length(c) - (shingle_k - 1), F.lit(1)))).alias("i"),
-    )
-    hs = pos.select("doc_id", *[
-        F.md5(F.concat(F.lit(f"{g}:"),
-                       F.col("t").substr(F.col("i"), F.lit(shingle_k))
-                       )).alias(f"h{g}")
-        for g in range(n_groups)
-    ])
-    aggs = [
-        F.min(F.substring(F.col(f"h{i // 4}"), (i % 4) * 8 + 1, 8)).alias(f"s{i}")
-        for i in range(num_perm)
-    ]
-    sig = hs.groupBy("doc_id").agg(*aggs)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"s{i}") for i in range(num_perm)]).alias("sig")
-    )
+    udf = _md5_minhash_udf(num_perm, shingle_k)
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       udf(F.col(text_col)).alias("sig"))
 
 
 def _splitmix64(z):
@@ -356,8 +426,9 @@ def minhash_signatures_fast(docs: DataFrame, text_col: str = "text",
     stays as the PORTABLE surface — DuckDB replays it for the
     `minhash_sig` oracle row."""
     udf = _minhash_sig_udf(num_perm, shingle_k)
-    return docs.select(F.col(id_col).alias("doc_id"),
-                       udf(F.col(text_col)).alias("sig"))
+    # zero-shuffle plan: widen a narrow scan first (no-op at real scale)
+    return spread(docs).select(F.col(id_col).alias("doc_id"),
+                               udf(F.col(text_col)).alias("sig"))
 
 
 def _exploded_shingles(docs: DataFrame, text_col: str, id_col: str,

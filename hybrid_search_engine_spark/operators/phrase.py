@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_native_keep_order
+from ..sources.registry import spread
 
 __all__ = [
     "token_positions",
@@ -113,7 +114,9 @@ def phrase_match_scan(
         # advice) — fail fast instead, matching phrase_starts' term guard
         raise ValueError("no phrases")
     toks = tokens_native_keep_order(text_col)
-    base = docs.select("doc_id", toks.alias("toks"))
+    # scan tier is shuffle-free: widen a narrow scan first (no-op at
+    # real scale — see sources.registry.spread)
+    base = spread(docs).select("doc_id", toks.alias("toks"))
     per_phrase = F.array(
         *[
             F.struct(
@@ -184,7 +187,7 @@ def near_match_scan(
     at most ``slop`` tokens between them (gap = pos_b - pos_a - 1 ≤ slop).
     Returns (doc_id, min_gap int). Scan tier — shuffle-free JVM HOFs."""
     toks = tokens_native_keep_order(text_col)
-    base = docs.select("doc_id", toks.alias("toks"))
+    base = spread(docs).select("doc_id", toks.alias("toks"))
     # bind pos_b through a single-element transform: the inner per-q
     # lambda in _near_min_gap would otherwise re-derive b's positions for
     # every occurrence of a (d484e4d law)
