@@ -661,6 +661,14 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     if verify not in ("auto", "broadcast", "vectorized", "inverted"):
         raise ValueError(f"verify must be 'auto', 'broadcast', "
                          f"'vectorized' or 'inverted', got {verify!r}")
+    # Candidate generation: banded self-join. A bucket-gather alternative
+    # (groupBy collect_list + vectorized intra-bucket pair emission, ONE
+    # exchange) was built and A/B'd in round 6 and measured SLOWER at
+    # bench scale (3.35 s vs 2.54 s same-session, 50k docs / 1.9M
+    # candidates): the banded table is small enough that the self-join
+    # broadcasts, so the join form pays no extra exchange, while the
+    # gather form pays the collect_list materialization plus an extra
+    # Arrow boundary for the pair explode. Kept the join.
     banded = minhash_band_hashes(docs, text_col, id_col, num_perm, bands,
                                  shingle_k, signatures,
                                  band_bucket_cap=band_bucket_cap)
@@ -669,7 +677,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     cand = (
         a.join(bdf, ["band_id", "band_hash"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
         .distinct()
         # cand feeds BOTH the candidate-doc semi-join below and the
         # intersection join; without persistence the signature + band
@@ -1039,11 +1048,65 @@ def embedding_near_dup_pairs(emb: DataFrame, vec_col: str = "embedding",
 # ---------------------------------------------------------------------------
 
 def _cc_local(e: DataFrame) -> DataFrame:
-    """Driver-side union-find finish for a driver-sized edge set: collect,
-    path-halving union-find, parallelize the (node, component) map back.
-    Preserves the edge columns' Spark types by building the result schema
-    from the input's."""
+    """Driver-side finish for a driver-sized edge set: collect the edges,
+    label every node with its component's minimum id, ship the (node,
+    component) map back. Preserves the edge columns' Spark types by
+    building the result schema from the input's.
+
+    Numeric ids take a fully vectorized numpy path (round-6): factorize
+    nodes with np.unique, then min-label propagation with pointer jumping
+    (lab ← min(lab, neighbor lab); lab ← lab[lab]) until fixpoint.
+    Labels only decrease and always name an index inside the same
+    component, so the fixpoint is constant-per-component and equals the
+    component's min index (the min-index node can never adopt a larger
+    label). Pointer jumping makes chains converge in O(log n) rounds —
+    the 0.9M-edge bench graph converges in 3 rounds at ~25 ms/round where
+    the python path-halving loop cost ~1.0 s. Non-numeric ids (string
+    doc ids in generic callers) keep the python union-find loop.
+
+    The result map is returned as a JVM-literal relation when small
+    (localdf) and as an Arrow-backed local relation otherwise — never a
+    Python-RDD leaf, which would fork a python worker on EVERY downstream
+    action (measured ~0.5 s/action at the 31k-node bench graph)."""
     from pyspark.sql import types as T
+
+    # Arrow collect: tolist() converts numpy scalars back to python
+    # ints/strs so min/max and the local_df rows stay plain types
+    pdf = e.toPandas()
+    schema = T.StructType([
+        T.StructField("node", e.schema[0].dataType, True),
+        T.StructField("component", e.schema[1].dataType, True),
+    ])
+    spark = e.sparkSession
+
+    u = pdf.iloc[:, 0].to_numpy()
+    v = pdf.iloc[:, 1].to_numpy()
+    if np.issubdtype(u.dtype, np.number) and np.issubdtype(v.dtype,
+                                                           np.number):
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        iu, iv = inv[:len(u)], inv[len(u):]
+        lab = np.arange(len(nodes))
+        while True:
+            prev = lab
+            lab = lab.copy()
+            np.minimum.at(lab, iu, prev[iv])
+            np.minimum.at(lab, iv, prev[iu])
+            lab = np.minimum(lab, lab[lab])
+            lab = np.minimum(lab, lab[lab])
+            if np.array_equal(lab, prev):
+                break
+        out = pd.DataFrame({"node": nodes, "component": nodes[lab]})
+        from ..localdf import MAX_LITERAL_ROWS, local_df
+
+        if len(out) <= MAX_LITERAL_ROWS:
+            return local_df(
+                spark,
+                list(zip(out["node"].tolist(), out["component"].tolist())),
+                schema)
+        # Arrow path (engine session): becomes a JVM LocalRelation — no
+        # python fork per action. Non-Arrow sessions fall back to the
+        # regular conversion inside createDataFrame.
+        return spark.createDataFrame(out, schema=schema)
 
     parent: dict = {}
 
@@ -1053,18 +1116,11 @@ def _cc_local(e: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    # Arrow collect: tolist() converts numpy scalars back to python
-    # ints/strs so min/max and the local_df rows stay plain types
-    pdf = e.toPandas()
     for a, b in zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()):
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     rows = [(n, find(n)) for n in parent]
-    schema = T.StructType([
-        T.StructField("node", e.schema[0].dataType, True),
-        T.StructField("component", e.schema[1].dataType, True),
-    ])
     from ..localdf import local_df
 
     return local_df(e.sparkSession, rows, schema)

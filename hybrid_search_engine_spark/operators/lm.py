@@ -15,23 +15,67 @@ has corpus support by construction). Per document:
 Low avg_nll ≈ stopword-heavy/templated text, high ≈ rare-token soup — the
 two tails a curation pipeline trims.
 
-100 TB shape: one token-grain shuffle builds per-doc tf (the SAME shuffle
-the BM25 stats build already pays — at build time this operator rides it
-for free); corpus frequencies are a vocab-sized table joined back
-broadcast (Zipf vocabularies are millions of rows at web scale — far under
-broadcast limits after the tf aggregation); the scalar total joins as a
-1-row broadcast. No driver-side collect anywhere.
+100 TB shape (round-6 plan): ONE token-grain aggregation builds the corpus
+frequencies directly (map-side partial agg — the shuffle carries
+vocab-sized partials, not per-doc rows); the vocab model is collected once
+(bounded by ``LM_BROADCAST_MAX_VOCAB`` — Zipf vocabularies are millions of
+rows at web scale, ~tens of MB as a term→ln p dict) and broadcast; scoring
+is then a single shuffle-free row-local Arrow pass per document. Corpora
+whose vocabulary exceeds the broadcast budget fall back to the join plan
+(tf → broadcast cf join → per-doc agg), which pays one extra token-grain
+shuffle but never holds the vocab in one process. Outputs are identical
+either way: exact integer counts both paths, float summation-order ulps
+absorbed by the contract's round(6) (the same tolerance discipline that
+lets DuckDB replay the oracle row).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..functions.text import tokens_native_keep_order
+from ..sources.registry import spread
 
 __all__ = ["unigram_logprob"]
+
+# Vocabulary-size cap for the broadcast-model path: a (term → ln p) dict of
+# this many entries is ~0.5 GB per python worker — above it, take the join
+# plan. Web-scale Zipf vocabularies (CCNet: ~millions of distinct tokens)
+# fit comfortably; the cap exists for adversarial token soup.
+LM_BROADCAST_MAX_VOCAB = 4_000_000
+
+
+def _lm_nll_udf(logp_bc):
+    """token array → avg negative ln-likelihood per row, vectorized:
+    flatten the batch's token lists, one vectorized dict lookup, segment
+    sums via add.reduceat. Empty rows yield NaN (callers filter |d|=0
+    before this projection)."""
+    from .. import ensure_udf_serializable
+
+    ensure_udf_serializable()
+
+    @F.pandas_udf("double")
+    def nll(toks: pd.Series) -> pd.Series:
+        logp = logp_bc.value
+        n = len(toks)
+        lens = np.fromiter((len(t) for t in toks), np.int64, n)
+        out = np.full(n, np.nan)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate(
+                [np.asarray(t, object) for t in toks if len(t)])
+            vals = pd.Series(flat).map(logp).to_numpy(np.float64)
+            offs = np.zeros(n + 1, np.int64)
+            np.cumsum(lens, out=offs[1:])
+            sums = np.add.reduceat(vals, offs[:-1][nz])
+            out[nz] = -sums / lens[nz]
+        return pd.Series(out)
+
+    return nll
 
 
 def unigram_logprob(
@@ -42,28 +86,64 @@ def unigram_logprob(
     decimals so summation-order ulps can't flip a value hash); pass None
     for raw doubles."""
     toks = tokens_native_keep_order(text_col)
-    tf = (
-        docs.select("doc_id", F.explode(toks).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    base = spread(docs).select("doc_id", toks.alias("__toks"))
+    cf_df = (
+        base.select(F.explode("__toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
     )
-    cf = tf.groupBy("term").agg(F.sum("cnt").alias("cf"))
-    total = cf.agg(F.sum("cf").alias("total_tokens"))
-    model = broadcast(cf.crossJoin(broadcast(total)))
-    scored = (
-        tf.join(model, "term")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_tokens"),
-            (
-                -F.sum(
-                    F.col("cnt")
-                    * F.log(F.col("cf") / F.col("total_tokens"))
-                )
-                / F.sum("cnt")
-            ).alias("avg_nll"),
+
+    # Broadcast-model path: collect the vocab-sized model once (the limit
+    # probe bounds what ever reaches the driver), score row-locally.
+    probe = cf_df.limit(LM_BROADCAST_MAX_VOCAB + 1).toPandas()
+    if len(probe) <= LM_BROADCAST_MAX_VOCAB:
+        total = int(probe["cf"].sum())
+        if total == 0:
+            scored = base.select(
+                "doc_id",
+                F.size("__toks").cast("bigint").alias("n_tokens"),
+                F.lit(None).cast("double").alias("avg_nll"),
+            ).where(F.col("n_tokens") > 0)
+            return scored
+        logp = dict(zip(
+            probe["term"].tolist(),
+            np.log(probe["cf"].to_numpy(np.float64) / float(total)),
+        ))
+        bc = docs.sparkSession.sparkContext.broadcast(logp)
+        scored = (
+            base.where(F.size("__toks") > 0)
+            .select(
+                "doc_id",
+                F.size("__toks").cast("bigint").alias("n_tokens"),
+                _lm_nll_udf(bc)(F.col("__toks")).alias("avg_nll"),
+            )
         )
-    )
+    else:
+        # Join fallback (the pre-round-6 plan): one extra token-grain
+        # shuffle builds per-doc tf; the model stays distributed until the
+        # broadcast join. cf is recomputed here — at this scale the probe
+        # cost is dominated by the scoring pass either way.
+        tf = (
+            base.select("doc_id", F.explode("__toks").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        total_df = cf_df.agg(F.sum("cf").alias("total_tokens"))
+        model = broadcast(cf_df.crossJoin(broadcast(total_df)))
+        scored = (
+            tf.join(model, "term")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("cnt").alias("n_tokens"),
+                (
+                    -F.sum(
+                        F.col("cnt")
+                        * F.log(F.col("cf") / F.col("total_tokens"))
+                    )
+                    / F.sum("cnt")
+                ).alias("avg_nll"),
+            )
+        )
     if round_to is not None:
         scored = scored.withColumn(
             "avg_nll", F.round("avg_nll", round_to))

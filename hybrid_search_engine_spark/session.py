@@ -59,6 +59,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # NOT set: spark.sql.objectHashAggregate.sortBased.fallbackThreshold.
+        # Round 6 A/B'd raising it (128 → 1M) so high-cardinality
+        # collect_list gathers stay hash-based: apparent bench-scale wins
+        # were within this host's noise band (the "improved" rows turned
+        # out to contain no ObjectHashAggregate at all), while the 1M-doc
+        # positional build REGRESSED 46 s → 197 s — a per-task hash map of
+        # a million growing list buffers thrashes exactly where the sort
+        # fallback is protective. The conservative default is the right
+        # scale posture; leave it.
     )
     if jvm_opts:
         b = b.config("spark.driver.extraJavaOptions", jvm_opts)
