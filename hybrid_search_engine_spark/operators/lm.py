@@ -49,17 +49,20 @@ __all__ = ["unigram_logprob"]
 LM_BROADCAST_MAX_VOCAB = 4_000_000
 
 
-def _lm_nll_udf(logp_bc):
-    """token array → avg negative ln-likelihood per row, vectorized:
+def _lm_score_udf(logp_bc):
+    """token array → struct(n_tokens, avg_nll) per row, vectorized:
     flatten the batch's token lists, one vectorized dict lookup, segment
-    sums via add.reduceat. Empty rows yield NaN (callers filter |d|=0
-    before this projection)."""
+    sums via add.reduceat. Returning BOTH outputs from the one UDF keeps
+    the n_tokens > 0 filter above the opaque Python node — a native
+    size(tokenize(text)) > 0 filter gets pushed to the scan and
+    re-evaluates the tokenizer a second time (observed in the plan).
+    Empty rows yield (0, NaN) and are filtered out by the caller."""
     from .. import ensure_udf_serializable
 
     ensure_udf_serializable()
 
-    @F.pandas_udf("double")
-    def nll(toks: pd.Series) -> pd.Series:
+    @F.pandas_udf("n_tokens bigint, avg_nll double")
+    def score(toks: pd.Series) -> pd.DataFrame:
         logp = logp_bc.value
         n = len(toks)
         lens = np.fromiter((len(t) for t in toks), np.int64, n)
@@ -73,9 +76,14 @@ def _lm_nll_udf(logp_bc):
             np.cumsum(lens, out=offs[1:])
             sums = np.add.reduceat(vals, offs[:-1][nz])
             out[nz] = -sums / lens[nz]
-        return pd.Series(out)
+        return pd.DataFrame({"n_tokens": lens, "avg_nll": out})
 
-    return nll
+    # Without this, the optimizer pushes the caller's n_tokens > 0 filter
+    # below this node and DUPLICATES the evaluation (one ArrowEvalPython
+    # under the pushed filter at the scan, another above — observed in the
+    # plan; the guide §4.4 pathology). The function is pure; the marker
+    # only pins it in place.
+    return score.asNondeterministic()
 
 
 def unigram_logprob(
@@ -111,12 +119,11 @@ def unigram_logprob(
         ))
         bc = docs.sparkSession.sparkContext.broadcast(logp)
         scored = (
-            base.where(F.size("__toks") > 0)
-            .select(
-                "doc_id",
-                F.size("__toks").cast("bigint").alias("n_tokens"),
-                _lm_nll_udf(bc)(F.col("__toks")).alias("avg_nll"),
-            )
+            base.select("doc_id",
+                        _lm_score_udf(bc)(F.col("__toks")).alias("__s"))
+            .where(F.col("__s.n_tokens") > 0)
+            .select("doc_id", F.col("__s.n_tokens").alias("n_tokens"),
+                    F.col("__s.avg_nll").alias("avg_nll"))
         )
     else:
         # Join fallback (the pre-round-6 plan): one extra token-grain
