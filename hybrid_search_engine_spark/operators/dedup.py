@@ -1068,11 +1068,18 @@ def _cc_local(e: DataFrame) -> DataFrame:
     (localdf) and as an Arrow-backed local relation otherwise — never a
     Python-RDD leaf, which would fork a python worker on EVERY downstream
     action (measured ~0.5 s/action at the 31k-node bench graph)."""
-    from pyspark.sql import types as T
-
     # Arrow collect: tolist() converts numpy scalars back to python
     # ints/strs so min/max and the local_df rows stay plain types
-    pdf = e.toPandas()
+    return _cc_local_pdf(e.toPandas(), e)
+
+
+def _cc_local_pdf(pdf, e: DataFrame) -> DataFrame:
+    """`_cc_local` on already-collected edges (the limit-probe in
+    connected_components collects them as its threshold gate — reusing
+    that frame here saves a second collect job). ``e`` supplies the
+    session and the edge columns' Spark types."""
+    from pyspark.sql import types as T
+
     schema = T.StructType([
         T.StructField("node", e.schema[0].dataType, True),
         T.StructField("component", e.schema[1].dataType, True),
@@ -1203,6 +1210,20 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         .where(F.col("x") != F.col("y"))
         .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
         .distinct())
+    if local_threshold:
+        # ONE probe job gates the local finish AND doubles as its input:
+        # pull at most local_threshold+1 canonical edges (same driver
+        # bound the count gate enforced). Under the threshold this
+        # replaces the separate count + collect pair of jobs; over it,
+        # CollectLimit stops after threshold+1 rows (reading a prefix of
+        # the checkpointed partitions) and only then does the distributed
+        # loop pay the exact count it needs for round accounting.
+        probe = e.limit(local_threshold + 1).toPandas()
+        if len(probe) == 0:
+            return e.select(F.col("u").alias("node"),
+                            F.col("v").alias("component"))
+        if len(probe) <= local_threshold:
+            return _cc_local_pdf(probe, e)
     n = e.count()
     if n == 0:
         return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
