@@ -413,3 +413,24 @@ def test_verify_param_validation(spark, docs_idx):
 
     with pytest.raises(ValueError, match="verify"):
         minhash_lsh_pairs(docs_idx, verify="nope")
+
+
+def test_cc_long_chain_vectorized_and_arrow_branch(spark, monkeypatch):
+    """Round-6 internals: the numeric CC finish is a numpy
+    min-label-propagation loop (pointer jumping) and, above the literal
+    cap, the component map returns as an Arrow-backed relation. A long
+    path graph stresses propagation convergence; patching the literal cap
+    to 0 forces the Arrow createDataFrame branch. Both must agree with
+    the python union-find oracle."""
+    from hybrid_search_engine_spark import localdf
+
+    n = 300
+    edges = [(i, i + 1) for i in range(n)]  # path 0-1-...-300
+    edges += [(1000 + i, 1000 + (i * 7) % 50) for i in range(50)]
+    edges = [(a, b) for a, b in edges if a != b]  # CC drops self-loops
+    want = _uf_components(edges)
+
+    assert _cc_spark(spark, edges, 500_000) == want
+
+    monkeypatch.setattr(localdf, "MAX_LITERAL_ROWS", 0)
+    assert _cc_spark(spark, edges, 500_000) == want

@@ -65,3 +65,33 @@ def test_contract_row_shape(spark, sf_dir):
         .where(F.length(F.coalesce("text", F.lit(""))) > 0).count())
     assert out.count() == n_docs
     assert out.where(F.col("avg_nll") <= 0).count() == 0
+
+
+def test_broadcast_and_join_paths_identical(spark):
+    """Round-6 internals: unigram_logprob scores via a broadcast term→ln p
+    model (one row-local Arrow pass) with the pre-round-6 join plan as
+    the over-budget fallback. Force both paths on a corpus with empty,
+    null and repeated-token docs and require row-identical output."""
+    import hybrid_search_engine_spark.operators.lm as lm
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark fast"), (2, ""), (3, None),
+         (4, "fast query window query"), (5, "spark"),
+         (6, "unique_token_here")],
+        "doc_id long, text string").select(
+        "doc_id",
+        # contract rows coalesce null text before the operator
+        lm.F.coalesce("text", lm.F.lit("")).alias("text"))
+
+    broadcast_rows = sorted(map(tuple, lm.unigram_logprob(docs).collect()))
+    old_cap = lm.LM_BROADCAST_MAX_VOCAB
+    try:
+        lm.LM_BROADCAST_MAX_VOCAB = 0  # force the join fallback
+        join_rows = sorted(map(tuple, lm.unigram_logprob(docs).collect()))
+    finally:
+        lm.LM_BROADCAST_MAX_VOCAB = old_cap
+    assert broadcast_rows == join_rows
+    # empty/null docs are absent; n_tokens exact
+    ids = [r[0] for r in broadcast_rows]
+    assert ids == [1, 4, 5, 6]
+    assert [r[1] for r in broadcast_rows] == [3, 4, 1, 1]
