@@ -554,32 +554,59 @@ def _verify_pairs_broadcast(cand: DataFrame, arrs: DataFrame,
     traffic to verify a 40 MB array set. Same switch the WAND batch path
     makes at BATCH_BROADCAST_MIN — when the side data fits a worker,
     broadcast it and keep the big side skinny. The join plans remain the
-    scale path when candidate docs exceed VERIFY_BROADCAST_BUDGET."""
+    scale path when candidate docs exceed VERIFY_BROADCAST_BUDGET.
+
+    The LUT ships FLAT-PACKED — (sorted doc ids, offsets, one contiguous
+    int64 hash buffer) — not as a doc→array dict: unpickling three numpy
+    buffers is a memcpy, while a dict of ~10⁴-10⁵ small arrays costs a
+    per-object loop in EVERY freshly-forked python worker (PySpark 4
+    forks per job), and the driver-side pack itself is ~0.7 s cheaper at
+    the 37k-doc bench corpus. Per batch, doc ids map to slices with two
+    vectorized searchsorted calls. The pair rows are also coalesced to
+    defaultParallelism first: the mapInPandas boundary has a fixed
+    per-task cost that dominated the verify at 128 post-shuffle
+    partitions (measured: a pass-through mapInPandas over the same rows
+    cost 1.0-1.4 s at 128 partitions vs ~0.5 s at 32 — guide §4's
+    "fewer, larger batches" applied to task granularity)."""
     from pyspark.sql import types as T
 
     from .. import ensure_udf_serializable
     ensure_udf_serializable()
 
     pdf = arrs.toPandas()
-    lut = {d: np.asarray(a, np.int64)
-           for d, a in zip(pdf["doc_id"].tolist(), pdf["sh_arr"])}
-    blut = cand.sparkSession.sparkContext.broadcast(lut)
+    ids = pdf["doc_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids_s = ids[order]
+    arr_list = pdf["sh_arr"].to_numpy()[order]
+    lens = np.fromiter((len(x) for x in arr_list), np.int64, len(arr_list))
+    offs = np.zeros(len(arr_list) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    buf = (np.concatenate([np.asarray(x, np.int64) for x in arr_list])
+           if len(arr_list) else np.empty(0, np.int64))
+    bpack = cand.sparkSession.sparkContext.broadcast((ids_s, offs, buf))
     schema = T.StructType(list(cand.schema.fields)
                           + [T.StructField("jaccard", T.DoubleType())])
 
     def gen(batches):
-        lu = blut.value
+        ids_s, offs, buf = bpack.value
         for b in batches:
-            j = np.empty(len(b), np.float64)
-            for i, (x, y) in enumerate(zip(b["doc_a"], b["doc_b"])):
-                xa, xb = lu[x], lu[y]
+            m = len(b)
+            ia = np.searchsorted(ids_s, b["doc_a"].to_numpy())
+            ib = np.searchsorted(ids_s, b["doc_b"].to_numpy())
+            sa, ea = offs[ia].tolist(), offs[ia + 1].tolist()
+            sb, eb = offs[ib].tolist(), offs[ib + 1].tolist()
+            j = np.empty(m, np.float64)
+            for i in range(m):
+                xa = buf[sa[i]:ea[i]]
+                xb = buf[sb[i]:eb[i]]
                 inter = np.intersect1d(xa, xb, assume_unique=True).size
                 denom = xa.size + xb.size - inter
                 j[i] = inter / denom if denom else 1.0
             out = b.assign(jaccard=j)
             yield out[out["jaccard"] >= jaccard_threshold]
 
-    return cand.mapInPandas(gen, schema=schema)
+    par = cand.sparkSession.sparkContext.defaultParallelism
+    return cand.coalesce(par).mapInPandas(gen, schema=schema)
 
 
 def _verify_pairs_vectorized(cand: DataFrame, arrs: DataFrame,
@@ -1205,25 +1232,30 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     else:
         _ckpt = lambda df: df.localCheckpoint()  # noqa: E731
 
-    e = _ckpt(
+    canon = (
         pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
         .where(F.col("x") != F.col("y"))
-        .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
-        .distinct())
+        .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")))
     if local_threshold:
         # ONE probe job gates the local finish AND doubles as its input:
         # pull at most local_threshold+1 canonical edges (same driver
-        # bound the count gate enforced). Under the threshold this
-        # replaces the separate count + collect pair of jobs; over it,
-        # CollectLimit stops after threshold+1 rows (reading a prefix of
-        # the checkpointed partitions) and only then does the distributed
-        # loop pay the exact count it needs for round accounting.
-        probe = e.limit(local_threshold + 1).toPandas()
+        # bound the count gate enforced). The probe runs on the RAW
+        # canonical edges — no distinct, no checkpoint (round-6: the
+        # distinct exchange + eager localCheckpoint materialization cost
+        # ~1.5 s of the bench pipeline and the local finish doesn't need
+        # either: np.minimum.at and the union-find are idempotent over
+        # duplicate edges). The gate is therefore on raw edge rows — a
+        # caller feeding heavily-duplicated pairs may take the
+        # distributed path where distinct rows would have fit locally;
+        # that path distincts first and re-checks, so it still finishes
+        # local, just without the saved jobs.
+        probe = canon.limit(local_threshold + 1).toPandas()
         if len(probe) == 0:
-            return e.select(F.col("u").alias("node"),
-                            F.col("v").alias("component"))
+            return canon.limit(0).select(F.col("u").alias("node"),
+                                         F.col("v").alias("component"))
         if len(probe) <= local_threshold:
-            return _cc_local_pdf(probe, e)
+            return _cc_local_pdf(probe, canon)
+    e = _ckpt(canon.distinct())
     n = e.count()
     if n == 0:
         return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
