@@ -208,13 +208,19 @@ def build_index(
     tf = spark.read.parquet(tf_dir)
 
     # term stats: vocabulary-sized agg over the tf table; written first,
-    # read back for the broadcast join (computed exactly once)
+    # read back for the broadcast join (computed exactly once). Σcf (total
+    # surviving tokens, the avgdl numerator) rides the SAME write job as
+    # an Observation metric instead of a separate read-back aggregate —
+    # one fewer serial job in the build's fixed-cost chain (guide §2.4).
+    from pyspark.sql import Observation
+
     tstats_path = os.path.join(index_dir, "stats", "term_stats")
-    term_stats(tf.select("doc_id", "term", "tf"), n_docs).write.mode(
-        "overwrite").parquet(tstats_path)
+    obs = Observation("term_stats_totals")
+    (term_stats(tf.select("doc_id", "term", "tf"), n_docs)
+     .observe(obs, F.sum("cf").alias("total_cf"))
+     .write.mode("overwrite").parquet(tstats_path))
     tstats = spark.read.parquet(tstats_path)
-    # avgdl from the (tiny) term_stats table: Σcf = total surviving tokens
-    total_tokens = tstats.agg(F.sum("cf")).first()[0] or 0
+    total_tokens = obs.get["total_cf"] or 0
     avg_doc_len = total_tokens / n_docs if n_docs else 0.0
     _log("statistics built")
 
