@@ -496,9 +496,21 @@ def minhash_band_hashes(docs: DataFrame, text_col: str = "text",
     ).select("doc_id", "b.band_id", "b.band_hash")
 
     if band_bucket_cap:
+        # Pin the window's exchange at the session parallelism: the banded
+        # table is only a few narrow MB at bench scale, so AQE's partition
+        # coalescing folds the hash exchange to ~1 partition and the
+        # window sort runs on one core (measured 1.7-2.0 s vs 0.9 s at
+        # 200k rows / local[32]). An explicit numPartitions repartition is
+        # never AQE-coalesced, and HashPartitioning(band_id, band_hash)
+        # satisfies the window's clustered distribution, so this is the
+        # window's ONE exchange, just at a pinned width. At cluster scale
+        # defaultParallelism = total cores and banded rows are ~30 bytes,
+        # so per-task sorts stay small.
+        par = docs.sparkSession.sparkContext.defaultParallelism
         wcap = Window.partitionBy("band_id", "band_hash")
         banded = (
-            banded.withColumn("bucket_n", F.count(F.lit(1)).over(wcap))
+            banded.repartition(par, "band_id", "band_hash")
+            .withColumn("bucket_n", F.count(F.lit(1)).over(wcap))
             .where(F.col("bucket_n") <= band_bucket_cap)
             .drop("bucket_n")
         )
@@ -809,8 +821,12 @@ def near_dup_check_incremental(new_docs: DataFrame, corpus_docs: DataFrame,
             corpus_docs, text_col, id_col, num_perm, bands, shingle_k,
             signatures)
     if probe_bucket_cap:
+        # pinned exchange width: same AQE-over-coalescing fix as the
+        # band_bucket_cap window in minhash_band_hashes (see there)
+        par = new_docs.sparkSession.sparkContext.defaultParallelism
         wcap = Window.partitionBy("band_id", "band_hash")
         band_table = (band_table
+                      .repartition(par, "band_id", "band_hash")
                       .withColumn("bucket_n", F.count(F.lit(1)).over(wcap))
                       .where(F.col("bucket_n") <= probe_bucket_cap)
                       .drop("bucket_n"))
