@@ -68,10 +68,18 @@ def term_frequencies(docs: DataFrame, text_col: str = "text",
     # the exchange moves ~input-sized doc rows and the explode + final
     # aggregation run shuffle-free on top — no token-grain partial-agg
     # rows are ever serialized (measured 1.74 s → 0.48 s for the sf1.0
-    # contract row at local[32]; AQE coalesces the REPARTITION_BY_COL
-    # output so the width adapts to data size).
+    # contract row at local[32]). The width is pinned at
+    # max(defaultParallelism, input splits): AQE's parallelism-first
+    # coalescing folds the ~15 MB bench exchange to ~1 MB partitions
+    # (~15 of them) and under-parallelizes the downstream explode+agg on
+    # a 32-core session (interleaved A/B: median 0.71 s auto vs 0.47 s
+    # pinned); the input-split term keeps the width growing with data
+    # size so a huge corpus is not forced into cores-count partitions.
     part = docs.select(F.col(id_col).alias("doc_id"),
-                       F.col(text_col).alias("__text")).repartition("doc_id")
+                       F.col(text_col).alias("__text"))
+    par = max(docs.sparkSession.sparkContext.defaultParallelism,
+              part.rdd.getNumPartitions())
+    part = part.repartition(par, "doc_id")
     exploded = part.select(
         "doc_id",
         F.explode(F.regexp_extract_all(
