@@ -110,3 +110,40 @@ def test_index_reader_end_to_end(spark, docs, tmp_path_factory):
     hits = reader.search("machine learning", k=5).collect()
     assert 0 < len(hits) <= 5
     assert hits[0]["score"] >= hits[-1]["score"]
+
+
+def test_manifest_metrics_match_written_postings(spark, docs,
+                                                 tmp_path_factory):
+    """The manifest's recorded per-shard metrics must equal
+    shard_metrics() recomputed from the written postings — pins the
+    metrics-describe-the-written-data invariant. (Round 6 A/B'd
+    collecting them as Observation aggregates on the write job instead
+    of the re-read: the 4-per-shard conditional aggregates slowed the
+    write by about what the re-read costs, so the re-read form stays;
+    this test guards any future change of the collection path.)"""
+    from hybrid_search_engine_spark.build.manifest import (
+        build_index,
+        read_manifest,
+    )
+    from hybrid_search_engine_spark.operators.postings import (
+        read_postings,
+        shard_metrics,
+    )
+
+    d = os.path.join(str(tmp_path_factory.mktemp("obs_metrics")), "idx")
+    build_index(spark, docs, d, n_shards=N_SHARDS, block_size=32)
+
+    recorded = {r["shard_id"]: r for r in read_manifest(d)
+                if r["status"] == "done"}
+    stored = read_postings(spark, os.path.join(d, "postings"))
+    recomputed = {r["shard_id"]: r.asDict()
+                  for r in shard_metrics(stored).collect()}
+
+    assert set(recomputed) <= set(recorded)
+    for s, m in recomputed.items():
+        for k in ("n_terms", "n_blocks", "n_postings", "payload_bytes"):
+            assert recorded[s][k] == int(m[k]), (s, k, recorded[s][k], m[k])
+    # shards absent from the grouped recompute (no postings) must be
+    # recorded as all-zero, exactly as the fallback form records them
+    for s in set(recorded) - set(recomputed):
+        assert recorded[s]["n_blocks"] == 0 and recorded[s]["n_terms"] == 0
